@@ -1,0 +1,36 @@
+package graft
+
+import graft.core.GraftSession
+import graft.corpus.CorpusGen
+import graft.pipeline.KgPipeline
+
+/** CLI entry point (spark-submit analog of the reference's
+  * `python main.py analyze`): generate/read the corpus, run the
+  * construction pipeline, materialize the graph tables, print counts.
+  *
+  * Usage: runMain graft.Main <rows> <nRepos> <cores> <outDir>
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 10000L
+    val nRepos = if (args.length > 1) args(1).toInt else 10
+    val cores = if (args.length > 2) args(2).toInt else 8
+    val outDir = if (args.length > 3) args(3) else "/tmp/graft_out"
+
+    implicit val spark: org.apache.spark.sql.SparkSession =
+      GraftSession(cores, "graft-analyze")
+    val t0 = System.nanoTime()
+    val corpus = CorpusGen.corpus(spark, CorpusGen.Config(rows, nRepos, partitions = cores * 2))
+    val result = KgPipeline.run(corpus)
+    KgPipeline.write(result, outDir)
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    // empty corpus ⇒ empty partitioned dir ⇒ schema inference would fail
+    val triples = scala.util.Try(spark.read.parquet(s"$outDir/triples"))
+    val nTriples = triples.map(_.count()).getOrElse(0L)
+    println(f"[graft] rows=$rows repos=$nRepos cores=$cores wall=$secs%.2fs " +
+      f"triples=$nTriples rate=${nTriples / secs}%.0f triples/sec")
+    triples.foreach(_.groupBy("pred").count().orderBy("pred").show(20, truncate = false))
+    spark.stop()
+  }
+}

@@ -1,0 +1,42 @@
+package graft.link
+
+import graft.core.{CorpusRow, GraftHash, Rng}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Ship/inspection dimension, one row per `repo` (the repo scopes rows
+  * the way a ship/inspection scopes frames — FIXTURES.md §1).
+  *
+  * In the reference this metadata comes from a per-video JSON
+  * (`InspectionMetadata.read_or_ask`, inspection_video_input.py:42-63);
+  * here it is a pure deterministic function of the repo name, shared by
+  * the engine and the golden oracle as part of the corpus *specification*.
+  * The ids reproduce `detid` exactly (inspection_video_input.py:56-58).
+  */
+object ShipCatalog {
+
+  final case class ShipRow(
+      repo: String,
+      ship_name: String,
+      imo: String,
+      inspection_date: String,
+      ship_id: Long,
+      inspection_id: Long
+  )
+
+  def shipFor(repo: String): ShipRow = {
+    val imoNum = 1000000L + java.lang.Long.remainderUnsigned(Rng.hashString("imo:" + repo), 9000000L)
+    val imo = s"IMO$imoNum"
+    val date = "2023-01-15"
+    ShipRow(repo, repo, imo, date,
+      ship_id = GraftHash.detid(repo),
+      inspection_id = GraftHash.detid(imo + date))
+  }
+
+  /** Distinct-repo scan → dimension. Tiny (|repos| rows): always the
+    * broadcast side of downstream joins.
+    */
+  def dim(corpus: Dataset[CorpusRow])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    corpus.select("repo").as[String].distinct().map(shipFor).toDF()
+  }
+}

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import graft.core.{CorpusRow, GraftFunctions, Ontology}
+import graft.extract.{CompiledDict, MentionExtractor}
+import graft.link.{EntityLinker, ShipCatalog}
+import graft.materialize.TripleBuilder
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end construction dataflow (reference §3.1), batch form:
+  *
+  *   corpus scan → per-partition mention detection (A6/A8) → score
+  *   fusion (A15) → broadcast entity-link join (A16) → triple union
+  *   (A18/A19) → partitioned write.
+  *
+  * Stage boundaries match the checkpoint/resume plan; only the final
+  * write repartitions (by `pred`), everything upstream is map-side +
+  * broadcast joins — the property that makes throughput scale ~linearly
+  * with cores (BASELINE.md §3 protocol).
+  */
+object KgPipeline {
+
+  final case class Result(
+      shipsDim: DataFrame,
+      frames: DataFrame,
+      triples: DataFrame,
+      nodes: DataFrame
+  )
+
+  /** Phase 1 (`analyze`): extract → link → materialize. */
+  def run(corpus: Dataset[CorpusRow],
+          dict: Seq[(String, String)] = CompiledDict.selfNamed)(
+      implicit spark: SparkSession): Result = {
+    val labels = dict.map(_._1)
+    val ships = ShipCatalog.dim(corpus)
+    val features = MentionExtractor.extract(corpus, dict)
+    val frames = MentionExtractor.frames(features, labels, ships)
+
+    val triples = TripleBuilder.hasOntology(ships)
+      .unionByName(TripleBuilder.hasInspection(ships))
+      .unionByName(TripleBuilder.hasFrame(frames))
+      .unionByName(EntityLinker.depicts(frames, labels))
+
+    Result(ships, frames, triples, TripleBuilder.nodes(ships, frames))
+  }
+
+  /** Row-invariant check column (BASELINE.json input_hint): sha256 of
+    * content as a Catalyst expression, compared against an expected
+    * digest column when present.
+    */
+  def withInvariant(corpus: DataFrame): DataFrame =
+    corpus.withColumn("content_sha256", GraftFunctions.sha256_hex(col("content")))
+
+  /** Materialize to disk: triples partitioned by predicate (the
+    * Iceberg-layout realization of SURVEY §1.3 — partition by `pred`,
+    * deterministic sort within partitions for byte-stable resume).
+    */
+  def write(result: Result, outDir: String): Unit = {
+    result.triples
+      .repartition(col("pred"))
+      .sortWithinPartitions("subj", "pred", "obj")
+      .write.mode("overwrite").partitionBy("pred").parquet(s"$outDir/triples")
+    result.frames
+      .repartition(col("inspection_id"))
+      .sortWithinPartitions("frame_id")
+      .write.mode("overwrite").parquet(s"$outDir/frames")
+    result.nodes
+      .repartition(col("label"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").partitionBy("label").parquet(s"$outDir/nodes")
+  }
+}
