@@ -21,7 +21,8 @@ object Main {
       GraftSession(cores, "graft-analyze")
     val t0 = System.nanoTime()
     val corpus = CorpusGen.corpus(spark, CorpusGen.Config(rows, nRepos, partitions = cores * 2))
-    val result = KgPipeline.run(corpus)
+    val full = args.length <= 4 || args(4) != "phase1"
+    val result = if (full) KgPipeline.runFull(corpus) else KgPipeline.run(corpus)
     KgPipeline.write(result, outDir)
     val secs = (System.nanoTime() - t0) / 1e9
 

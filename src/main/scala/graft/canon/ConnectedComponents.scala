@@ -1,0 +1,57 @@
+package graft.canon
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative connected components over a `Dataset[Edge]` — the
+  * canonicalization primitive (reference A25's DBSCAN grouping and the
+  * north rule's entity-canonicalization stage), with no GraphFrames
+  * dependency.
+  *
+  * Hash-min label propagation: every vertex repeatedly adopts the
+  * minimum component id in its closed neighborhood until fixpoint.
+  * Deterministic (min is order-free), partition-count independent.
+  * Lineage is truncated with `localCheckpoint` every iteration, and the
+  * messages stage aggregates BEFORE the join-back (partial aggregation
+  * = map-side combine), so hot vertices (star graphs from ubiquitous
+  * entities) don't concentrate on one task.
+  */
+object ConnectedComponents {
+
+  /** edges: (src: long, dst: long). Returns (id: long, component: long)
+    * where component = min vertex id of the component.
+    */
+  def run(edges: DataFrame, maxIter: Int = 25)(implicit spark: SparkSession): DataFrame = {
+    // undirected: symmetrize once
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = true)
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(eager = true)
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // min component among neighbors, partial-aggregated map-side
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min(col("component")).as("nbrMin"))
+      val updated = labels.join(msgs, labels("id") === msgs("id2"), "left")
+        .select(
+          col("id"),
+          least(col("component"), coalesce(col("nbrMin"), col("component"))).as("component"),
+          (col("nbrMin").isNotNull && col("nbrMin") < col("component")).as("changed")
+        )
+        .localCheckpoint(eager = true)
+      val nChanged = updated.where(col("changed")).count()
+      labels = updated.drop("changed")
+      converged = nChanged == 0
+      iter += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,85 @@
+package graft.canon
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-NN similarity edges per group (reference A26: per-inspection
+  * KDTree, k=5, self-match skipped — similarity_pipeline.py:153-192).
+  *
+  * Two physical strategies:
+  *  - [[exactTopK]]: group-scoped self-join + windowed top-k. Exact;
+  *    quadratic in group size — right when groups are bounded (frames
+  *    per inspection), wrong at web scale.
+  *  - [[approxTopK]]: random-hyperplane LSH bucketing + within-bucket
+  *    join + windowed top-k. Near-linear; the 100 TB path. Multiple
+  *    hash tables raise recall; candidates are deduplicated before
+  *    ranking.
+  */
+object KnnJoin {
+
+  /** Squared L2 between two array<double> columns (HOF, no UDF). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  def dist(a: Column, b: Column): Column = sqrt(sqDist(a, b))
+
+  /** feat: (id string, group long/string, vec array<double>).
+    * Returns (src, dst, distance): k nearest neighbors of each id
+    * within its group, deterministic ties by dst id.
+    */
+  def exactTopK(feat: DataFrame, k: Int): DataFrame = {
+    val a = feat.select(col("id").as("src"), col("group"), col("vec").as("va"))
+    val b = feat.select(col("id").as("dst"), col("group"), col("vec").as("vb"))
+    val w = Window.partitionBy("src").orderBy(col("distance"), col("dst"))
+    a.join(b, Seq("group"))
+      .where(col("src") =!= col("dst"))
+      .withColumn("distance", dist(col("va"), col("vb")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("src", "dst", "distance")
+  }
+
+  /** LSH top-k: `tables` independent sign-random-projection signatures
+    * of `bits` bits each; rows sharing (table, signature, group) become
+    * candidates. Deterministic hyperplanes from a seeded hash of the
+    * dimension index — no fitted model state to persist.
+    */
+  def approxTopK(feat: DataFrame, k: Int, tables: Int = 4, bits: Int = 8,
+                 seed: Long = 42L): DataFrame = {
+    val dims = 64 // upper bound on vec length used for plane generation
+    // signature per table: sum over bits of sign(dot(vec, plane)) << bit
+    def planeCoef(t: Int, bit: Int, d: Int): Double = {
+      val h = graft.core.Rng.mix(seed + t * 1000003L, bit * 131L + d)
+      (h >>> 11) * 1.1102230246251565e-16 * 2.0 - 1.0
+    }
+    def signature(t: Int): Column = {
+      val bitCols = (0 until bits).map { bit =>
+        val planes = lit((0 until dims).map(d => planeCoef(t, bit, d)).toArray)
+        // slice planes to |vec| — zip_with null-pads length mismatches
+        val dot = aggregate(
+          zip_with(col("vec"), slice(planes, lit(1), size(col("vec"))), (x, c) => x * c),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0, lit(1L << bit)).otherwise(lit(0L))
+      }
+      bitCols.reduce(_ + _)
+    }
+    val tagged = feat.select(
+      col("id"), col("group"), col("vec"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), signature(t).as("sig"))): _*)).as("h"))
+      .select(col("id"), col("group"), col("vec"),
+        col("h.t").as("t"), col("h.sig").as("sig"))
+
+    val a = tagged.select(col("id").as("src"), col("group"), col("t"), col("sig"), col("vec").as("va"))
+    val b = tagged.select(col("id").as("dst"), col("group"), col("t"), col("sig"), col("vec").as("vb"))
+    val w = Window.partitionBy("src").orderBy(col("distance"), col("dst"))
+    a.join(b, Seq("group", "t", "sig"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), dist(col("va"), col("vb")).as("distance"))
+      .dropDuplicates("src", "dst") // same pair can collide in several tables
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("src", "dst", "distance")
+  }
+}

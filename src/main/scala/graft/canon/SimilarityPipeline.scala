@@ -1,0 +1,100 @@
+package graft.canon
+
+import graft.core.Ontology
+import graft.materialize.TripleBuilder
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Phase 2 (`similarities`, reference §3.2): telemetry + content
+  * feature vectors, k-NN similarity edges, density clusters.
+  *
+  *  - telemetry vector (A21, similarity_pipeline.py:87-93, verbatim
+  *    semantics): [Depth, sin(H·2π/360), cos(H·2π/360), CameraTilt,
+  *    framenumber], NaN/Inf→0;
+  *  - content vector (A22 analog of the ResNet embedding): the per-label
+  *    classifier+coverage channels + uciqe — deterministic features of
+  *    the row content (SURVEY §7.5 deviations ledger);
+  *  - SIMILAR_TO / VISUALLY_SIMILAR_TO: k=5 per frame within its
+  *    inspection, distance property (frame.py:77-81);
+  *  - IN_CLUSTER: DBSCAN-analog clusters, noise −1 excluded from edges;
+  *    cluster node id "c{inspection}.{n}" (similarity_pipeline.py:173).
+  */
+object SimilarityPipeline {
+
+  val K = 5
+
+  private def sanitize(c: org.apache.spark.sql.Column) =
+    when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity, 0.0)
+      .otherwise(c)
+
+  def telemetryFeatures(frames: DataFrame): DataFrame =
+    frames.select(
+      col("frame_id").as("id"),
+      col("inspection_id").as("group"),
+      array(
+        sanitize(col("Depth")),
+        sanitize(sin(col("Heading") * math.Pi * 2 / 360)),
+        sanitize(cos(col("Heading") * math.Pi * 2 / 360)),
+        sanitize(col("CameraTilt")),
+        col("framenumber").cast("double")
+      ).as("vec"))
+
+  def contentFeatures(frames: DataFrame, labels: Seq[String]): DataFrame = {
+    val channels = labels.flatMap(l =>
+      Seq(col(s"${l}_classification") * 10.0, col(s"${l}_segmentation") * 100.0)) :+
+      col("uciqe")
+    frames.select(
+      col("frame_id").as("id"),
+      col("inspection_id").as("group"),
+      array(channels.map(sanitize): _*).as("vec"))
+  }
+
+  def similarTriples(frames: DataFrame, labels: Seq[String],
+                     exact: Boolean = true): DataFrame = {
+    def knn(feat: DataFrame) =
+      if (exact) KnnJoin.exactTopK(feat, K) else KnnJoin.approxTopK(feat, K)
+    val tele = knn(telemetryFeatures(frames)).select(
+      col("src").as("subj"), lit("SIMILAR_TO").as("pred"), col("dst").as("obj"),
+      lit(null).cast("double").as("classification"),
+      lit(null).cast("double").as("segmentation"),
+      col("distance"),
+      lit(null).cast("array<double>").as("homography"))
+    val vis = knn(contentFeatures(frames, labels)).select(
+      col("src").as("subj"), lit("VISUALLY_SIMILAR_TO").as("pred"), col("dst").as("obj"),
+      lit(null).cast("double").as("classification"),
+      lit(null).cast("double").as("segmentation"),
+      col("distance"),
+      lit(null).cast("array<double>").as("homography"))
+    tele.unionByName(vis)
+  }
+
+  /** IN_CLUSTER triples + Cluster nodes. eps/minPts follow the
+    * reference's shape (DBSCAN(eps, min_samples=5)); eps is in the
+    * telemetry feature space.
+    */
+  def clusterTriples(frames: DataFrame, eps: Double = 8.0, minPts: Int = 5)(
+      implicit spark: SparkSession): (DataFrame, DataFrame) = {
+    val feats = telemetryFeatures(frames)
+      // framenumber dominates raw distances; scale it down so density
+      // reflects telemetry, mirroring the reference's standardization
+      .withColumn("vec", transform(col("vec"),
+        (v, i) => when(i === 4, v / 100.0).otherwise(v)))
+    val clusters = Dbscan.cluster(feats, eps, minPts)
+    val member = clusters.where(col("cluster") >= 0)
+      .withColumn("cluster_id",
+        concat(lit("c"), col("group"), lit("."), col("cluster")))
+    val triples = member.select(TripleBuilder.tripleCols(
+      col("id"), "IN_CLUSTER", col("cluster_id")): _*)
+    val nodes = member.groupBy("cluster_id", "cluster").agg(count("*").as("n"))
+      .select(col("cluster_id").as("id"), lit("Cluster").as("label"),
+        map(lit("number"), col("cluster").cast("string")).as("props"))
+    (triples, nodes)
+  }
+
+  def run(frames: DataFrame, labels: Seq[String] = Ontology.allLabels,
+          exact: Boolean = true)(implicit spark: SparkSession): (DataFrame, DataFrame) = {
+    val sims = similarTriples(frames, labels, exact)
+    val (clusterT, clusterN) = clusterTriples(frames)
+    (sims.unionByName(clusterT), clusterN)
+  }
+}

@@ -86,17 +86,31 @@ object MentionExtractor {
   }
 
   /** Deterministic telemetry analog of the interpolated channels
-    * (ass_telemetry_reader.py:59-83): depth, heading, pitch, roll,
-    * camera tilt, rangefinder — pure function of (repo, framenumber).
+    * (ass_telemetry_reader.py:59-83) — pure function of
+    * (repo, framenumber), but *smooth* in framenumber like real ROV
+    * telemetry: heading drifts at a per-repo rate with occasional
+    * maneuvers (so mosaic sessionization sees realistic runs), depth
+    * follows a slow dive profile.
     */
   def telemetry(repo: String, framenumber: Long): Array[Double] = {
-    val rng = new Rng(Rng.mix(Rng.hashString(repo), framenumber))
+    val repoH = Rng.hashString(repo)
+    val base = new Rng(repoH)
+    val baseHeading = base.nextDouble() * 360.0
+    val driftRate = base.nextDouble() * 4.0 - 2.0 // deg/frame
+    val diveDepth = 5.0 + base.nextDouble() * 20.0
+    // occasional maneuver: every ~40 frames the heading jumps
+    val leg = framenumber / 40
+    val legRng = new Rng(Rng.mix(repoH, leg))
+    val legOffset = legRng.nextDouble() * 360.0
+    val rng = new Rng(Rng.mix(repoH, framenumber))
+    val noise = rng.nextDouble() * 6.0 - 3.0
+    val heading = (((baseHeading + legOffset + (framenumber % 40) * driftRate + noise) % 360.0) + 360.0) % 360.0
     Array(
-      rng.nextDouble() * 30.0,          // Depth [0,30) m
-      rng.nextDouble() * 360.0,         // Heading [0,360)
+      diveDepth + 3.0 * math.sin(framenumber / 50.0) + rng.nextDouble() * 0.4, // Depth
+      heading,
       rng.nextDouble() * 20.0 - 10.0,   // Pitch
       rng.nextDouble() * 20.0 - 10.0,   // Roll
-      rng.nextDouble() * 90.0 - 45.0,   // Camera Tilt
+      rng.nextDouble() * 30.0 - 15.0,   // Camera Tilt
       rng.nextDouble() * 10.0           // Rangefinder
     )
   }

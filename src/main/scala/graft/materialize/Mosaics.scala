@@ -1,0 +1,110 @@
+package graft.materialize
+
+import graft.core.Ontology
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Mosaic sessionization (reference A12-A14, LIACI_stitcher.py).
+  *
+  * The reference stitches consecutive frames into a mosaic until a
+  * data-dependent break (drift > 100 px or warpiness > 260,
+  * stitcher.py:152-172), gates sessions (< 180 frames AND
+  * size_increase < 1.5 discarded, pipeline.py:153-156), and aggregates
+  * per-label coverage over the OR-merged masks (stitcher.py:338-346).
+  *
+  * Spark-first: the break becomes a per-row-computable predicate on
+  * adjacent telemetry (heading jump or depth jump — SURVEY §7.4.3
+  * documents this semantic mapping), sessions are `lag` + running
+  * `sum(when(break,1))` window ids, the gate is a HAVING-style filter,
+  * and mask-union coverage is a custom typed [[Aggregator]]
+  * (1 − Π(1−cov_i): union of per-frame coverage fractions under an
+  * independence model — the OR-merge analog).
+  */
+object Mosaics {
+
+  val headingBreak = 45.0
+  val depthBreak = 2.0
+  val minFrames = 3 // gate analog (reference: 180 frames at 30 fps)
+
+  /** Union-coverage UDAF: 1 − Π(1 − cov). Commutative+associative via
+    * the product of complements — safe for partial aggregation.
+    */
+  class UnionCoverage extends Aggregator[Double, Double, Double] {
+    def zero: Double = 1.0
+    def reduce(b: Double, a: Double): Double = b * (1.0 - math.max(0.0, math.min(1.0, a)))
+    def merge(b1: Double, b2: Double): Double = b1 * b2
+    def finish(r: Double): Double = 1.0 - r
+    def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val unionCoverage = udaf(new UnionCoverage)
+
+  /** Assign session (mosaic) ids per inspection: break on telemetry
+    * discontinuity, id = running count of breaks.
+    */
+  def withSessions(frames: DataFrame): DataFrame = {
+    val w = Window.partitionBy("inspection_id").orderBy("framenumber")
+    val headingJump = abs(col("Heading") - lag("Heading", 1).over(w))
+    // heading wraps at 360: take circular distance
+    val circJump = least(headingJump, lit(360.0) - headingJump)
+    val isBreak = when(lag("Heading", 1).over(w).isNull, lit(1))
+      .when(circJump > headingBreak, lit(1))
+      .when(abs(col("Depth") - lag("Depth", 1).over(w)) > depthBreak, lit(1))
+      .otherwise(lit(0))
+    frames
+      .withColumn("session_break", isBreak)
+      .withColumn("session",
+        sum("session_break").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("session_break")
+  }
+
+  /** (IN_MOSAIC triples, Mosaic nodes). Mosaic id = "m" + first frame id
+    * of the session (pipeline/pipeline.py:138). Sessions below the
+    * frame gate are discarded (A13).
+    */
+  def build(frames: DataFrame, labels: Seq[String] = Ontology.allLabels)(
+      implicit spark: SparkSession): (DataFrame, DataFrame) = {
+    val sessioned = withSessions(frames)
+
+    val covAggs = labels.map(l =>
+      unionCoverage(col(s"${l}_segmentation")).as(s"${l}_percentage"))
+    val aggs = Seq(
+      count("*").as("n_frames"),
+      min("frame_id").as("start_frame"),
+      max("frame_id").as("end_frame"),
+      min("framenumber").as("start_no")
+    ) ++ covAggs
+    val mosaics = sessioned.groupBy("inspection_id", "session")
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("n_frames") >= minFrames) // A13 quality gate
+      .withColumn("mosaic_id", concat(lit("m"), col("start_frame")))
+
+    val mosaicKeys = mosaics.select("inspection_id", "session", "mosaic_id")
+    // IN_MOSAIC with homography: deterministic per-frame 3x3 (translation
+    // by in-session offset — the stitcher's accumulated-H analog)
+    val inMosaic = sessioned
+      .join(mosaicKeys, Seq("inspection_id", "session"))
+      .select(
+        col("frame_id").as("subj"), lit("IN_MOSAIC").as("pred"),
+        col("mosaic_id").as("obj"),
+        lit(null).cast("double").as("classification"),
+        lit(null).cast("double").as("segmentation"),
+        lit(null).cast("double").as("distance"),
+        array(lit(1.0), lit(0.0), col("framenumber").cast("double"),
+          lit(0.0), lit(1.0), col("Depth"),
+          lit(0.0), lit(0.0), lit(1.0)).as("homography"))
+
+    val pctEntries = labels.flatMap(l =>
+      Seq(lit(s"${l}_percentage"), round(col(s"${l}_percentage"), 6).cast("string")))
+    val nodes = mosaics.select(
+      col("mosaic_id").as("id"), lit("Mosaic").as("label"),
+      map(
+        (Seq(lit("start_frame"), col("start_frame"),
+          lit("end_frame"), col("end_frame"),
+          lit("n_frames"), col("n_frames").cast("string")) ++ pctEntries): _*
+      ).as("props"))
+    (inMosaic, nodes)
+  }
+}

@@ -44,6 +44,24 @@ object KgPipeline {
     Result(ships, frames, triples, TripleBuilder.nodes(ships, frames))
   }
 
+  /** Phase 1 + phase 2 (`similarities`, reference §3.2): mosaics
+    * (sessionization + IN_MOSAIC), k-NN similarity edges, clusters.
+    * `exactKnn=false` switches the neighbor search to LSH bucketing
+    * (the web-scale path).
+    */
+  def runFull(corpus: Dataset[CorpusRow],
+              dict: Seq[(String, String)] = CompiledDict.selfNamed,
+              exactKnn: Boolean = true)(implicit spark: SparkSession): Result = {
+    val base = run(corpus, dict)
+    val labels = dict.map(_._1)
+    val (inMosaic, mosaicNodes) = graft.materialize.Mosaics.build(base.frames, labels)
+    val (simTriples, clusterNodes) =
+      graft.canon.SimilarityPipeline.run(base.frames, labels, exactKnn)
+    base.copy(
+      triples = base.triples.unionByName(inMosaic).unionByName(simTriples),
+      nodes = base.nodes.unionByName(mosaicNodes).unionByName(clusterNodes))
+  }
+
   /** Row-invariant check column (BASELINE.json input_hint): sha256 of
     * content as a Catalyst expression, compared against an expected
     * digest column when present.

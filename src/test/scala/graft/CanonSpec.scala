@@ -1,0 +1,93 @@
+package graft
+
+import graft.canon.{ConnectedComponents, Dbscan, KnnJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CanonSpec extends AnyFunSuite {
+  lazy implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Reference union-find for the property test. */
+  def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connected components match union-find on random graphs (property, seeded)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val edges = Seq.fill(60) {
+        val a = rnd.nextInt(31).toLong; var b = rnd.nextInt(31).toLong
+        if (a == b) b = (b + 1) % 31
+        (a, b)
+      }
+      val df = edges.toDF("src", "dst")
+      val got = ConnectedComponents.run(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = ufComponents(edges)
+      val wantCanon = want.map { case (k, _) =>
+        k -> want.filter(_._2 == want(k)).keys.min
+      }
+      assert(got === wantCanon, s"trial $trial")
+    }
+  }
+
+  test("connected components invariant to partition count") {
+    val edges = (0L until 200L).map(i => (i, i / 3 * 3)) // chains of 3
+    val a = ConnectedComponents.run(edges.toDF("src", "dst").repartition(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = ConnectedComponents.run(edges.toDF("src", "dst").repartition(13))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
+  test("exact kNN returns k nearest within group, no self-match, deterministic ties") {
+    val pts = Seq(
+      ("a", 1L, Array(0.0)), ("b", 1L, Array(1.0)), ("c", 1L, Array(2.0)),
+      ("d", 1L, Array(10.0)), ("x", 2L, Array(0.0)), ("y", 2L, Array(0.5))
+    ).toDF("id", "group", "vec")
+    val knn = KnnJoin.exactTopK(pts, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val forA = knn.filter(_._1 == "a").map(_._2).toSeq
+    assert(forA === Seq("b", "c")) // nearest two, ordered
+    assert(!knn.exists(t => t._1 == t._2))
+    assert(knn.filter(_._1 == "x").map(_._2).toSeq === Seq("y")) // group 2 only has 1 neighbor
+    assert(!knn.exists(t => (t._1 == "x" || t._1 == "y") && (t._2 != "x" && t._2 != "y")))
+  }
+
+  test("approx kNN finds the same near neighbors on clustered data") {
+    val pts = (0 until 40).map { i =>
+      val base = if (i < 20) 0.0 else 100.0
+      (s"p$i", 1L, Array(base + i % 20 * 0.1, base))
+    }.toDF("id", "group", "vec")
+    val exact = KnnJoin.exactTopK(pts, 3).select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val approx = KnnJoin.approxTopK(pts, 3, tables = 6, bits = 4)
+      .select("src", "dst").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.8, s"LSH recall $recall too low")
+  }
+
+  test("dbscan analog: two dense blobs + noise") {
+    val blob1 = (0 until 8).map(i => (i.toLong, 1L, Array(i * 0.1, 0.0)))
+    val blob2 = (0 until 8).map(i => (100L + i, 1L, Array(50.0 + i * 0.1, 0.0)))
+    val noise = Seq((999L, 1L, Array(500.0, 500.0)))
+    val pts = (blob1 ++ blob2 ++ noise).toDF("id", "group", "vec")
+    val got = Dbscan.cluster(pts, eps = 1.0, minPts = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(999L) === -1L)
+    assert(blob1.map(t => got(t._1)).distinct.size === 1)
+    assert(blob2.map(t => got(t._1)).distinct.size === 1)
+    assert(got(0L) !== got(100L))
+    assert(Set(got(0L), got(100L)) === Set(0L, 1L)) // dense numbering
+  }
+}
