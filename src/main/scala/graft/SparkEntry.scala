@@ -1,13 +1,518 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{CorpusRow, Ontology}
+import graft.extract.MentionExtractor
+import graft.link.{EntityLinker, ShipCatalog}
+import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one entry per implemented operator (SURVEY.md §2),
+  * runnable on the driver's parquet tables; `oracleSql` gives the
+  * DuckDB-equivalent for every SQL-expressible operator. Column names
+  * and value arithmetic are mirrored exactly (integer-cent sums instead
+  * of float accumulation, floor-based binning instead of round) so the
+  * driver's sorted-column value hash matches bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- documents-as-corpus: the KG pipeline over the driver's table ----
+
+  /** label → mention term from the documents vocabulary (no term is a
+    * substring of any other vocab word — verified against the corpus).
+    */
+  val docDict: Seq[(String, String)] = Seq(
+    "anode" -> "scan", "bilge_keel" -> "merge", "sea_chest_grating" -> "hash",
+    "defect" -> "slow", "corrosion" -> "dup", "marine_growth" -> "data",
+    "over_board_valve" -> "filter", "paint_peel" -> "batch",
+    "propeller" -> "join", "ship_hull" -> "the")
+
+  val docLabels: Seq[String] = docDict.map(_._1)
+
+  def docsCorpus(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[CorpusRow] = {
+    import s.implicits._
+    t(s, dir, "documents").select(
+      col("source").as("repo"),
+      col("doc_id").cast("string").as("path"),
+      md5(col("text")).as("commit"),
+      col("lang"),
+      col("text").as("content")
+    ).as[CorpusRow]
+  }
+
+  def docFrames(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val corpus = docsCorpus(s, dir)
+    MentionExtractor.frames(
+      MentionExtractor.extract(corpus, docDict), docLabels, ShipCatalog.dim(corpus))
+  }
+
+  /** Flagship: DEPICTS triples of the KG pipeline over sf0.001 docs. */
+  def entry(spark: SparkSession): DataFrame = {
+    implicit val sp: SparkSession = spark
+    EntityLinker.depicts(docFrames(spark, "/root/testdata/sf0.001"), docLabels)
+  }
+
+  // ---- SQL fragments shared by the generated oracles ----
+
+  /** Non-overlapping substring count of `term` in documents.text. */
+  private def cntSql(term: String): String =
+    s"(length(text) - length(replace(text, '$term', ''))) / ${term.length}"
+
+  private def scoreSql(term: String): String = {
+    val c = cntSql(term)
+    s"(CASE WHEN $c / 8.0 > 0.5 THEN 1 ELSE 0 END + " +
+      s"CASE WHEN $c * ${term.length} / length(text) > 0.01 THEN 1 ELSE 0 END)"
+  }
+
+  private val tokSql =
+    "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
+
+  val tableDefectLabels = Seq("marine_growth", "corrosion", "paint_peel", "defect")
+
+  /** Root ancestor in the HAS tree (transitive closure of the 25-row
+    * ontology dimension, resolved at plan time — B11's path semantics).
+    */
+  def ontologyRoot(vis: String): String = {
+    val parent = Ontology.entries.map(e => e.visCode -> Option(e.parentVisCode)).toMap
+    @scala.annotation.tailrec
+    def go(v: String): String = parent.get(v).flatten match {
+      case Some(p) => go(p)
+      case None => v
+    }
+    go(vis)
+  }
+
+  // =======================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+      Map[String, (SparkSession, String) => DataFrame](
+
+    // --- scans / filters / aggregation (B14-style conditional sums) ---
+
+    "q01_pricing_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1995-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+            .cast("long")).as("revenue_cents"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_region_rollup" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(floor(col("c_acctbal") * 100 + 0.5).cast("long")).as("acct_cents"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q03_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(10)),
+
+    "q04_priority_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "rn")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    "q05_cust_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")), lit(0L))
+            .as("spend_cents"))
+        .orderBy("c_custkey")
+    }),
+
+    "q06_cond_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_hi_disc"),
+          sum(when(col("l_tax") > 0.04, 1).otherwise(0)).as("n_hi_tax"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // --- binning histogram (B13 heading-bin arithmetic) ---
+
+    "q07_value_bins" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(pmod(floor(col("value") / 30) * 30, lit(360)).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bin")),
+
+    // --- per-group argmax (B15 key-frame) ---
+
+    "q08_user_argmax" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+      t(s, dir, "events").withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
+    // --- semi / anti joins (B8-style id-set membership) ---
+
+    "q09_semijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "q10_antijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "q11_union_distinct" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_type").as("v"))
+        .unionByName(t(s, dir, "orders").select(col("o_orderpriority").as("v")))
+        .distinct().orderBy("v")),
+
+    // --- sessionization (A12 window shape) ---
+
+    "q12_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      val b = e.withColumn("brk",
+        when(lag("us", 1).over(w).isNull ||
+          col("us") - lag("us", 1).over(w) > 1800000000L, 1).otherwise(0))
+      val sess = b.withColumn("session",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy("user_id", "session").agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("cnt").as("n_events"),
+          max("cnt").as("max_session"))
+        .orderBy("user_id")
+    }),
+
+    // --- running window (A4 cumulative shape) ---
+
+    "q13_running" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events").where(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("running_cents", sum("cents").over(w))
+        .select("user_id", "event_id", "running_cents")
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q14_lang_stats" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("lang")),
+
+    "q15_exact_moments" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("sum_cents"),
+          sum(col("c") * col("c")).as("sumsq_cents"))
+        .orderBy("event_type")),
+
+    // --- dedup / text analysis over documents ---
+
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy("content_hash")),
+
+    "q21_token_stats" -> ((s, dir) => {
+      val tok = TextAnalysis.tokenCount(col("text"))
+      t(s, dir, "documents").select(col("lang"), tok.as("tok"))
+        .groupBy("lang")
+        .agg(sum("tok").as("total_tokens"), min("tok").as("min_tokens"),
+          max("tok").as("max_tokens"))
+        .orderBy("lang")
+    }),
+
+    "q22_doc_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // --- the KG pipeline over documents (extract → link → aggregate) ---
+
+    "kg_scores" -> ((s, dir) => {
+      val f = docFrames(s, dir)
+      f.select(Seq(col("framenumber").as("doc_id")) ++
+        docLabels.map(l => col(l)): _*).orderBy("doc_id")
+    }),
+
+    "kg_depicts" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      EntityLinker.mentions(docFrames(s, dir), docLabels)
+        .join(broadcast(EntityLinker.linkDictDf(s)), Seq("label"))
+        .select(
+          split(col("frame_id"), "\\.").getItem(1).cast("long").as("doc_id"),
+          col("visCode").as("vis_code"),
+          col("classification"), col("segmentation"))
+        .orderBy("doc_id", "vis_code")
+    }),
+
+    "kg_ship_table" -> ((s, dir) => {
+      val aggs = tableDefectLabels.map(l =>
+        sum(when(col(l) >= 1, 1).otherwise(0)).as(s"${l}_docs")) :+
+        count(lit(1)).as("n_docs")
+      docFrames(s, dir).groupBy(col("repo").as("source"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("source")
+    }),
+
+    "kg_part_rollup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val rootMap = Ontology.linkDict.keys.toSeq.sorted
+        .map(l => l -> ontologyRoot(Ontology.linkDict(l))).toDF("label", "root_vis")
+      EntityLinker.mentions(docFrames(s, dir), docLabels)
+        .join(broadcast(rootMap), Seq("label"))
+        .groupBy("root_vis").agg(count(lit(1)).as("n_mentions"))
+        .orderBy("root_vis")
+    }),
+
+    "kg_topk_quality" -> ((s, dir) =>
+      docFrames(s, dir)
+        .select(col("framenumber").as("doc_id"), round(col("uciqe"), 6).as("uciqe"))
+        .orderBy(desc("uciqe"), asc("doc_id")).limit(100)),
+
+    "ann_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      val v = expr("transform(embedding, x -> cast(x as double))")
+      emb.where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(SimilaritySearch.cosine(v, lit(q)), 4).as("cosine"))
+        .orderBy("vec_id")
+    })
+  ) ++ rowsOnlyQueries
+
+  // --- operators with no SQL-expressible oracle: driver rows-only check ---
+
+  def rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
+      Map[String, (SparkSession, String) => DataFrame](
+    "ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      SimilaritySearch.bruteForceTopK(emb.where(col("vec_id") =!= 0), q, 20)
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      SimilaritySearch.lshTopK(emb.where(col("vec_id") =!= 0), q, 20)
+    }),
+    "knn_graph" -> ((s, dir) =>
+      SimilaritySearch.neighborGraph(t(s, dir, "embeddings"), k = 5, exact = true)),
+    "minhash_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.0)
+    }),
+    "simhash_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 16)
+    }),
+    "ngram_jaccard" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs)
+      Dedup.ngramJaccard(docs, Dedup.minhashCandidates(sigs), n = 3)
+    }),
+    "embedding_neardup" -> ((s, dir) =>
+      // synthetic embeddings are near-orthogonal; -1 returns all bucketed
+      // candidate pairs with their cosine (the op's 0.95 default is for
+      // real near-dup corpora)
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = -1.0)),
+    "lang_id" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextAnalysis.languageId(t(s, dir, "documents"))
+    }),
+    "fingerprints" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextAnalysis.fingerprints(t(s, dir, "documents"))
+    }),
+    "multimodal_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeFeatures(Multimodal.syntheticMedia(s, 1000))
+    }),
+    "multimodal_frame_sample" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.sampleFrames(
+        Multimodal.decodeFeatures(Multimodal.syntheticMedia(s, 1000)), step = 30)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n,
+        | sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)) AS revenue_cents
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1995-09-01'
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_region_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        | sum(cast(floor(c_acctbal * 100 + 0.5) as bigint)) AS acct_cents
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q03_topk_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q04_priority_topk" ->
+      """SELECT o_orderpriority, o_orderkey, rn FROM (
+        | SELECT o_orderpriority, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q05_cust_orders" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | coalesce(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)), 0) AS spend_cents
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q06_cond_agg" ->
+      """SELECT l_returnflag,
+        | sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_hi_disc,
+        | sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS n_hi_tax,
+        | count(*) AS n_rows FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_value_bins" ->
+      """SELECT cast(((floor(value / 30) * 30) % 360 + 360) % 360 as integer) AS bin,
+        | count(*) AS n FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q08_user_argmax" ->
+      """SELECT user_id, event_type, value FROM (
+        | SELECT user_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        | FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q09_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer c WHERE EXISTS (
+        | SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        | ORDER BY c_custkey""".stripMargin,
+    "q10_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (
+        | SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        | ORDER BY c_custkey""".stripMargin,
+    "q11_union_distinct" ->
+      """SELECT DISTINCT v FROM (
+        | SELECT event_type AS v FROM events
+        | UNION ALL SELECT o_orderpriority AS v FROM orders) t ORDER BY v""".stripMargin,
+    "q12_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        | b AS (SELECT user_id, event_id, us,
+        |   CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        | s AS (SELECT user_id,
+        |   sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session
+        |  FROM b),
+        | g AS (SELECT user_id, session, count(*) AS cnt FROM s GROUP BY 1, 2)
+        | SELECT user_id, count(*) AS n_sessions, sum(cnt) AS n_events, max(cnt) AS max_session
+        | FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_running" ->
+      """SELECT user_id, event_id,
+        | sum(cast(floor(value * 100 + 0.5) as bigint))
+        |  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS running_cents
+        | FROM events WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin,
+    "q14_lang_stats" ->
+      """SELECT lang, count(*) AS n, sum(n_chars) AS total_chars,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_exact_moments" ->
+      """SELECT event_type, count(*) AS n, sum(c) AS sum_cents, sum(c * c) AS sumsq_cents
+        | FROM (SELECT event_type, cast(floor(value * 100 + 0.5) as bigint) AS c FROM events) t
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_token_stats" ->
+      s"""SELECT lang, sum(tok) AS total_tokens, min(tok) AS min_tokens, max(tok) AS max_tokens
+         | FROM (SELECT lang, $tokSql AS tok FROM documents) t
+         | GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_doc_quality" -> qualityOracleSql,
+    "kg_scores" -> kgScoresOracleSql,
+    "kg_depicts" -> kgDepictsOracleSql,
+    "kg_ship_table" -> kgShipTableOracleSql,
+    "kg_part_rollup" -> kgPartRollupOracleSql,
+    "kg_topk_quality" ->
+      s"""SELECT doc_id, round(((length(text) % 101) / 101.0) * 20.0 + ((($tokSql) % 97) / 97.0) * 30.0, 6) AS uciqe
+         | FROM documents ORDER BY uciqe DESC, doc_id LIMIT 100""".stripMargin,
+    "ann_cosine" ->
+      """SELECT e.vec_id,
+        | round(list_cosine_similarity(cast(e.embedding as double[]),
+        |   (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+        | FROM embeddings e WHERE e.vec_id <> 0 ORDER BY e.vec_id""".stripMargin
+  )
+
+  /** q22 oracle: mirrors TextAnalysis.qualityScore arithmetic exactly. */
+  private def qualityOracleSql: String = {
+    val tok = s"($tokSql)"
+    val meanWordLen = s"(cast(length(text) - $tok + 1 as double) / $tok)"
+    val stopHits = s"((length(text) - length(replace(text, 'the', ''))) / 3 + " +
+      s"(length(text) - length(replace(text, ' a ', ''))) / 3)"
+    val stopRatio = s"(cast($stopHits as double) / $tok)"
+    val lenScore = s"(1.0 - least(abs($meanWordLen - 5.5) / 5.5, 1.0))"
+    val stopScore = s"(1.0 - least(abs($stopRatio - 0.1) * 5.0, 1.0))"
+    s"SELECT doc_id, round($lenScore * 0.6 + $stopScore * 0.4, 6) AS quality " +
+      "FROM documents ORDER BY doc_id"
+  }
+
+  /** kg_scores oracle: per-label fused score via substring counting. */
+  private def kgScoresOracleSql: String = {
+    val cols = docDict.map { case (label, term) => s"${scoreSql(term)} AS $label" }
+    s"SELECT doc_id, ${cols.mkString(", ")} FROM documents ORDER BY doc_id"
+  }
+
+  /** kg_depicts oracle: one UNION ALL branch per dictionary label,
+    * emitting (doc_id, visCode, classification, segmentation) for
+    * score > 0 — the reference's emit rule (frame.py:65-73).
+    */
+  private def kgDepictsOracleSql: String = {
+    val dictTerms = docDict.toMap
+    val branches = Ontology.linkDict.toSeq.sortBy(_._1).map { case (label, vis) =>
+      val term = dictTerms(label)
+      val c = cntSql(term)
+      s"""SELECT doc_id, '$vis' AS vis_code,
+         | least($c / 8.0, 1.0) AS classification,
+         | $c * ${term.length} / length(text) AS segmentation
+         | FROM documents WHERE ${scoreSql(term)} > 0""".stripMargin
+    }
+    s"SELECT * FROM (${branches.mkString(" UNION ALL ")}) t ORDER BY doc_id, vis_code"
+  }
+
+  private def kgShipTableOracleSql: String = {
+    val dictTerms = docDict.toMap
+    val cols = tableDefectLabels.map { l =>
+      s"sum(CASE WHEN ${scoreSql(dictTerms(l))} >= 1 THEN 1 ELSE 0 END) AS ${l}_docs"
+    }
+    s"SELECT source, ${cols.mkString(", ")}, count(*) AS n_docs " +
+      "FROM documents GROUP BY 1 ORDER BY 1"
+  }
+
+  private def kgPartRollupOracleSql: String = {
+    val dictTerms = docDict.toMap
+    val branches = Ontology.linkDict.toSeq.sortBy(_._1).map { case (label, vis) =>
+      s"SELECT doc_id, '${ontologyRoot(vis)}' AS root_vis FROM documents " +
+        s"WHERE ${scoreSql(dictTerms(label))} > 0"
+    }
+    s"SELECT root_vis, count(*) AS n_mentions FROM (${branches.mkString(" UNION ALL ")}) t " +
+      "GROUP BY 1 ORDER BY 1"
+  }
 }

@@ -1,0 +1,172 @@
+package graft.ops
+
+import graft.core.Rng
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines,
+  * over a `documents(doc_id long, text string, ...)` table.
+  *
+  * Exact dedup is a hash group-by; near-dup families follow the
+  * standard shingle → signature → band → bucket-join shape so the
+  * candidate set stays near-linear at 100 TB (never all-pairs).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (min) doc id per content hash; map-side
+    * partial agg, one shuffle on the 128-bit digest.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Rows to drop under exact dedup (doc_id != canonical). */
+  def exactDuplicates(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    docs.withColumn("rn", row_number().over(w))
+      .where(col("rn") > 1).drop("rn")
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** Deterministic 64-bit hash of a string (FNV + splitmix avalanche). */
+  private def h64(s: String, seed: Long): Long =
+    Rng.mix(seed, Rng.hashString(s))
+
+  /** Character shingles → minhash signature. Computed in a mapPartitions
+    * pass (the per-partition-compiled analyzers pattern).
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingle: Int = 5)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val n = numHashes
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      val seeds = Array.tabulate(n)(i => Rng.mix(0x5eed, i))
+      it.map { case (id, text) =>
+        val sig = Array.fill(n)(Long.MaxValue)
+        var i = 0
+        val limit = math.max(text.length - shingle + 1, 1)
+        while (i < limit) {
+          val sh = text.substring(i, math.min(i + shingle, text.length))
+          val base = Rng.hashString(sh)
+          var j = 0
+          while (j < n) {
+            val h = Rng.mix(seeds(j), base)
+            if (h < sig(j)) sig(j) = h
+            j += 1
+          }
+          i += 1
+        }
+        (id, sig)
+      }
+    }.toDF("doc_id", "signature")
+  }
+
+  /** Near-duplicate candidate pairs via banding: rows sharing any
+    * (band, band-hash) bucket. Pairs are oriented (a < b) and distinct.
+    */
+  def minhashCandidates(signatures: DataFrame, bands: Int = 16): DataFrame = {
+    val banded = signatures.select(
+      col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, $bands - 1), " +
+        s"b -> hash(slice(signature, b * (size(signature) div $bands) + 1, size(signature) div $bands)))"))
+        .as(Seq("band", "band_hash")))
+    val a = banded.select(col("doc_id").as("a"), col("band"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("b"), col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Estimated Jaccard from signature agreement for candidate pairs. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8, numHashes: Int = 64,
+                   bands: Int = 16, shingle: Int = 5)(
+      implicit spark: SparkSession): DataFrame = {
+    val sigs = minhashSignatures(docs, numHashes, shingle)
+    val cands = minhashCandidates(sigs, bands)
+    val sa = sigs.select(col("doc_id").as("a"), col("signature").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("b"), col("signature").as("sig_b"))
+    cands.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / size(sig_a)"))
+      .where(col("est_jaccard") >= threshold)
+      .select("a", "b", "est_jaccard")
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit simhash over whitespace tokens + 16-bit-band candidate pairs
+    * with exact Hamming verification.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val acc = new Array[Int](64)
+          text.split(' ').foreach { tok =>
+            val h = h64(tok, 0x51a)
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+              b += 1
+            }
+          }
+          var sig = 0L
+          var b = 0
+          while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+          (id, sig)
+        }
+      }.toDF("doc_id", "simhash")
+    // 4 bands of 16 bits: Hamming <= 3 guarantees one identical band
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "band_val")))
+    val a = banded.select(col("doc_id").as("a"), col("simhash").as("ha"), col("band"), col("band_val"))
+    val b = banded.select(col("doc_id").as("b"), col("simhash").as("hb"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .where(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming").distinct()
+  }
+
+  // ---------- n-gram Jaccard (exact, for candidate verification) ----------
+
+  /** Exact word-n-gram Jaccard for given candidate pairs (a, b). */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      array_distinct(expr(
+        s"transform(sequence(0, greatest(size(split(text, ' ')) - $n, 0)), " +
+          s"i -> hash(array_join(slice(split(text, ' '), i + 1, $n), ' ')))")).as("grams"))
+    val ga = grams.select(col("doc_id").as("a"), col("grams").as("ga"))
+    val gb = grams.select(col("doc_id").as("b"), col("grams").as("gb"))
+    pairs.join(ga, Seq("a")).join(gb, Seq("b"))
+      .withColumn("jaccard",
+        expr("size(array_intersect(ga, gb)) / size(array_union(ga, gb))"))
+      .select("a", "b", "jaccard")
+  }
+
+  // ---------- embedding cosine near-dup ----------
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
+    * from sign-random-projection buckets (no all-pairs).
+    */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
+                       tables: Int = 6, bits: Int = 10): DataFrame = {
+    val feat = embeddings.select(
+      col("vec_id").cast("string").as("id"), lit(1L).as("group"),
+      expr("transform(embedding, x -> cast(x as double))").as("vec"))
+    val knn = graft.canon.KnnJoin.approxTopK(
+      feat.withColumn("vec", expr(
+        "transform(vec, x -> x / sqrt(aggregate(vec, 0D, (a, v) -> a + v * v)))")),
+      k = 10, tables = tables, bits = bits)
+    // unit vectors: cos = 1 - d^2/2
+    knn.withColumn("cosine", lit(1.0) - col("distance") * col("distance") / 2)
+      .where(col("cosine") >= threshold && col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"), col("cosine"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`embeddings(vec_id long, embedding array<float>, label int)`).
+  *
+  * Baseline: brute-force cosine top-k — one scan, no shuffle besides
+  * the final TakeOrdered. Scale path: IVF-style bucketing — assign each
+  * vector to its nearest of C deterministic centroids (sign-projection
+  * buckets), probe only matching buckets.
+  */
+object SimilaritySearch {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k for one query vector: the exact baseline.
+    * Whole plan = scan → project (codegen HOF) → TakeOrderedAndProject.
+    */
+  def bruteForceTopK(embeddings: DataFrame, query: Array[Double], k: Int): DataFrame = {
+    val q = lit(query)
+    val v = expr("transform(embedding, x -> cast(x as double))")
+    embeddings.select(col("vec_id"), round(cosine(v, q), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: query probes only its own sign-projection
+    * buckets across `tables` hash tables, then exact re-rank.
+    */
+  def lshTopK(embeddings: DataFrame, query: Array[Double], k: Int,
+              tables: Int = 6, bits: Int = 6): DataFrame = {
+    val feat = embeddings.select(col("vec_id").cast("string").as("id"),
+      lit(1L).as("group"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+    // reuse the deterministic hyperplanes of KnnJoin via a one-row query df
+    val qdf = feat.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row("__query__", 1L, query)),
+      feat.schema)
+    val knn = graft.canon.KnnJoin.approxTopK(feat.unionByName(qdf), k, tables, bits)
+    knn.where(col("src") === "__query__")
+      .select(col("dst").cast("long").as("vec_id"), col("distance"))
+  }
+
+  /** All-pairs top-k neighbor edges (per-label groups): the batch ANN
+    * used for embedding-space graph building.
+    */
+  def neighborGraph(embeddings: DataFrame, k: Int, exact: Boolean): DataFrame = {
+    val feat = embeddings.select(col("vec_id").cast("string").as("id"),
+      col("label").cast("long").as("group"),
+      expr("transform(embedding, x -> cast(x as double))").as("vec"))
+    if (exact) graft.canon.KnnJoin.exactTopK(feat, k)
+    else graft.canon.KnnJoin.approxTopK(feat, k)
+  }
+}

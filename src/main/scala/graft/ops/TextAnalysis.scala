@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.core.Rng
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation over
+  * `documents(doc_id, text, lang, source, n_chars)`.
+  * Everything is either a pure column expression (codegen'd, oracle-
+  * portable) or a per-partition compiled scorer.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count as pure arithmetic (portable to the DuckDB
+    * oracle): spaces + 1.
+    */
+  def tokenCount(text: Column): Column =
+    when(length(text) === 0, 0)
+      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + 1)
+
+  /** Simple quality heuristics: mean word length, stopword ratio,
+    * uppercase/punct ratio analog. All arithmetic on counts.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text)
+    val meanWordLen = (length(text) - toks + 1).cast("double") / toks
+    val stopHits =
+      (length(text) - length(regexp_replace(text, "the", ""))) / 3 +
+        (length(text) - length(regexp_replace(text, " a ", ""))) / 3
+    val stopRatio = stopHits.cast("double") / toks
+    // score in [0, 1]: reward 3-8 char mean words and moderate stopword rate
+    val lenScore = lit(1.0) - least(abs(meanWordLen - 5.5) / 5.5, lit(1.0))
+    val stopScore = lit(1.0) - least(abs(stopRatio - 0.1) * 5.0, lit(1.0))
+    round(lenScore * 0.6 + stopScore * 0.4, 6)
+  }
+
+  /** BPE-ish token estimate over the `text` column: whitespace tokens +
+    * long-word splits (a word of length L contributes ceil(L/4) subtokens).
+    */
+  def bpeTokenEstimate: Column =
+    expr("aggregate(split(text, ' '), 0L, (acc, w) -> acc + greatest(ceil(length(w) / 4.0), 1L))")
+
+  /** Language-ID by character-n-gram profile voting — per-partition
+    * compiled profiles (the heuristic path; real models would ride the
+    * same mapPartitions shape).
+    */
+  def languageId(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val profiles: Map[String, Seq[String]] = Map(
+      "en" -> Seq(" th", "he ", "ing", " an", "nd "),
+      "de" -> Seq("der", "ein", "sch", " un", "cht"),
+      "es" -> Seq(" de", "que", " la", "ión", "os "),
+      "fr" -> Seq(" le", "les", " de", "ent", "que"),
+      "zh" -> Seq("的", "是", "了", "在", "我")
+    )
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      val compiled = profiles.toSeq.map { case (l, ps) => (l, ps.toArray) }
+      it.map { case (id, text) =>
+        var best = "und"; var bestScore = 0
+        compiled.foreach { case (l, ps) =>
+          var s = 0
+          ps.foreach { p => if (text.contains(p)) s += 1 }
+          if (s > bestScore) { best = l; bestScore = s }
+        }
+        (id, best, bestScore)
+      }
+    }.toDF("doc_id", "lang_pred", "lang_votes")
+  }
+
+  /** Winnowing document fingerprint (rolling Karp–Rabin over k-grams,
+    * window minimum): the classic near-dup sketch for code corpora.
+    */
+  def fingerprints(docs: DataFrame, k: Int = 8, window: Int = 4)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, text) =>
+        val n = text.length
+        val hashes = new Array[Long](math.max(n - k + 1, 0))
+        var i = 0
+        while (i + k <= n) {
+          hashes(i) = Rng.mix(0xf19e4L, Rng.hashString(text.substring(i, i + k)))
+          i += 1
+        }
+        val fps = scala.collection.mutable.LinkedHashSet[Long]()
+        var w = 0
+        while (w + window <= hashes.length) {
+          var m = Long.MaxValue; var j = w
+          while (j < w + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
+          fps += m
+          w += 1
+        }
+        (id, fps.toArray.sorted)
+      }
+    }.toDF("doc_id", "fingerprints")
+  }
+}

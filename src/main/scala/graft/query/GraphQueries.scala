@@ -1,0 +1,218 @@
+package graft.query
+
+import graft.core.Ontology
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's query surface (demonstrator/data_manager.py, SURVEY
+  * §2.B — B1..B16) over the materialized `frames` / `triples` / `nodes`
+  * tables. Each Cypher query becomes a declarative DataFrame plan:
+  * predicate pushdown, column pruning, broadcast-dim joins and top-k all
+  * fall out of Catalyst.
+  */
+object GraphQueries {
+
+  /** B1 (data_manager.py:19-28): quality ∧ (∨ parts > .8) ∧ (∨ defects > .8).
+    * Reference thresholds the *_classification channel at 0.8.
+    */
+  def findingsPredicate(quality: Double, parts: Seq[String], defects: Seq[String]): Column = {
+    def anyAbove(ls: Seq[String]): Column =
+      ls.map(l => col(s"${l}_classification") > 0.8)
+        .reduceOption(_ || _).getOrElse(lit(true))
+    (col("uciqe") >= quality) && anyAbove(parts) && anyAbove(defects)
+  }
+
+  /** B2 (:30-33): ship ⋈ inspection, "name on date", DISTINCT. */
+  def inspections(frames: DataFrame): DataFrame =
+    frames.select(concat(col("ship_name"), lit(" on "), col("inspection_date")).as("inspection"),
+      col("inspection_id")).distinct()
+
+  /** 30°-heading bin relative to ship heading (B3/B13 arithmetic:
+    * `(round((H − ship) / 30) * 30 + 360) % 360` — data_manager.py:38).
+    */
+  def headingBin(h: Column, shipHeading: Column): Column =
+    pmod(round((h - shipHeading) / 30) * 30, lit(360)).cast("int")
+
+  /** B3 (:35-44): frames of an inspection in one heading sector,
+    * ORDER BY uciqe DESC. (Mosaic coalesce is a left join on IN_MOSAIC.)
+    */
+  def framesAngle(frames: DataFrame, triples: DataFrame, inspectionId: Long,
+                  angle: Int, shipHeading: Double = 0.0): DataFrame = {
+    val inMosaic = triples.where(col("pred") === "IN_MOSAIC")
+      .select(col("subj").as("frame_id"), col("obj").as("mosaic_id"))
+    frames.where(col("inspection_id") === inspectionId)
+      .where(headingBin(col("Heading"), lit(shipHeading)) === angle)
+      .join(inMosaic, Seq("frame_id"), "left")
+      .select(col("frame_id"), col("uciqe"),
+        coalesce(col("mosaic_id"), col("frame_id")).as("display_id"))
+      .distinct()
+      .orderBy(desc("uciqe"))
+  }
+
+  /** B4 (:46-50): frames of (inspection, cluster n), ORDER BY framenumber. */
+  def framesCluster(frames: DataFrame, triples: DataFrame,
+                    inspectionId: Long, clusterNumber: Long): DataFrame = {
+    val inCluster = triples.where(col("pred") === "IN_CLUSTER")
+      .select(col("subj").as("frame_id"), col("obj").as("cluster_id"))
+    frames.where(col("inspection_id") === inspectionId)
+      .join(inCluster, Seq("frame_id"))
+      .where(col("cluster_id") === concat(lit("c"), lit(inspectionId), lit("."), lit(clusterNumber)))
+      .orderBy("framenumber")
+      .select("frame_id", "framenumber", "uciqe")
+  }
+
+  /** B5 (:53-54): base scan — frames of selected inspections + B1 pred. */
+  def baseScan(frames: DataFrame, inspectionIds: Seq[Long], pred: Column): DataFrame =
+    frames.where(col("inspection_id").isin(inspectionIds: _*)).where(pred)
+
+  /** B7 (:74-86): ORDER BY frame_id LIMIT 300 — top-k. */
+  def graphFrames(base: DataFrame, k: Int = 300): DataFrame =
+    base.orderBy("frame_id").limit(k)
+
+  /** B8 (:92-107): similarity edges among a frame set, r.distance < t,
+    * undirected (subj OR obj in set).
+    */
+  def similarityEdges(triples: DataFrame, frameIds: DataFrame, predName: String,
+                      threshold: Double): DataFrame = {
+    val ids = frameIds.select(col("frame_id"))
+    val edges = triples.where(col("pred") === predName && col("distance") < threshold)
+    // undirected containment = union of two semi-joined directions
+    edges.join(ids, edges("subj") === ids("frame_id"), "left_semi")
+      .unionByName(edges.join(ids, edges("obj") === ids("frame_id"), "left_semi"))
+      .select("subj", "obj", "distance").distinct()
+  }
+
+  /** B9 (:114-127): per-mosaic mean uciqe, windowed equivalent of the
+    * collect+reduce in the reference.
+    */
+  def mosaicQuality(frames: DataFrame, triples: DataFrame): DataFrame = {
+    val inMosaic = triples.where(col("pred") === "IN_MOSAIC")
+      .select(col("subj").as("frame_id"), col("obj").as("mosaic_id"))
+    frames.join(inMosaic, Seq("frame_id"))
+      .withColumn("mosaic_quality", avg("uciqe").over(Window.partitionBy("mosaic_id")))
+      .select("frame_id", "mosaic_id", "uciqe", "mosaic_quality")
+  }
+
+  /** B10 (:130-139): clusters of a frame set, noise (…"-1") skipped. */
+  def clustersOf(triples: DataFrame, frameIds: DataFrame): DataFrame = {
+    val inCluster = triples.where(col("pred") === "IN_CLUSTER")
+      .select(col("subj").as("frame_id"), col("obj").as("cluster_id"))
+    inCluster.join(frameIds.select("frame_id"), Seq("frame_id"), "left_semi")
+      .where(!col("cluster_id").endsWith("-1"))
+      .distinct()
+  }
+
+  /** Transitive closure of the HAS tree (2 levels in practice) —
+    * iterative self-join; powers B11's variable-length path.
+    */
+  def ontologyClosure(triples: DataFrame): DataFrame = {
+    val has = triples.where(col("pred") === "HAS").select("subj", "obj")
+    var closure = has.select(col("subj").as("anc"), col("obj").as("desc"))
+    var frontier = closure
+    var n = closure.count()
+    var grown = true
+    while (grown) {
+      val next = frontier.join(has, frontier("desc") === has("subj"))
+        .select(frontier("anc"), has("obj").as("desc"))
+      closure = closure.unionByName(next).distinct().localCheckpoint(eager = true)
+      val n2 = closure.count()
+      grown = n2 > n
+      frontier = next
+      n = n2
+    }
+    closure
+  }
+
+  /** B11 (:145-158): frame -DEPICTS-> part <-HAS*- ship paths. */
+  def partShipPaths(frames: DataFrame, triples: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    val depicts = triples.where(col("pred") === "DEPICTS")
+      .select(col("subj").as("frame_id"), col("obj").as("part_id"))
+    val closure = ontologyClosure(triples)
+    depicts
+      .join(closure, depicts("part_id") === closure("desc"))
+      .where(col("anc").startsWith("ship_"))
+      .select(col("frame_id"), col("part_id"), col("anc").as("ship_id"))
+  }
+
+  /** B12 (:163-197): histogram value vectors incl. the guarded
+    * marine-growth ratio `CASE WHEN hull < 0.05 THEN 0 … cap at 1`.
+    */
+  def histogramData(frames: DataFrame, triples: DataFrame): Map[String, DataFrame] = {
+    val mg = frames.select(
+      when(col("ship_hull_segmentation") < 0.05, 0.0)
+        .otherwise(least(col("marine_growth_segmentation") / col("ship_hull_segmentation"), lit(1.0)))
+        .as("marine_growth_ratio"))
+    Map(
+      "uciqe" -> frames.select("uciqe"),
+      "depth" -> frames.select(col("Depth")),
+      "marine_growth_ratio" -> mg,
+      "similar_distances" -> triples.where(col("pred") === "SIMILAR_TO").select("distance"),
+      "visual_distances" -> triples.where(col("pred") === "VISUALLY_SIMILAR_TO").select("distance")
+    )
+  }
+
+  /** B13 (:201-221): per (inspection, 30° relative-heading bin) counts. */
+  def headingsHist(frames: DataFrame, shipHeading: Double = 0.0): DataFrame =
+    frames
+      .groupBy(col("inspection_id"),
+        headingBin(col("Heading"), lit(shipHeading)).as("heading_bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("inspection_id", "heading_bin")
+
+  /** B14 (:223-248): per-ship (q6) and per-part (q7) conditional sums —
+    * sum(CASE WHEN label_classification > 0.8 THEN 1 END) per defect label.
+    */
+  val tableDefects = Seq("marine_growth", "corrosion", "paint_peel", "defect")
+
+  private implicit class AggOps(df: org.apache.spark.sql.RelationalGroupedDataset) {
+    def agg(cols: Seq[Column]): DataFrame = df.agg(cols.head, cols.tail: _*)
+  }
+
+  def shipTable(frames: DataFrame): DataFrame =
+    frames.groupBy(col("ship_name").as("name"))
+      .agg(tableDefects.map(l =>
+        sum(when(col(s"${l}_classification") > 0.8, 1).otherwise(0)).as(l)))
+      .orderBy("name")
+
+  def partTable(frames: DataFrame, triples: DataFrame, nodes: DataFrame): DataFrame = {
+    val depicts = triples.where(col("pred") === "DEPICTS")
+      .select(col("subj").as("frame_id"), col("obj").as("part_id"))
+    val partNames = nodes.where(col("label") === "Classification")
+      .select(col("id").as("part_id"), col("props")("name").as("name"))
+    frames.join(depicts, Seq("frame_id"))
+      .join(partNames, Seq("part_id"))
+      .groupBy("name")
+      .agg(tableDefects.map(l =>
+        sum(when(col(s"${l}_classification") > 0.8, 1).otherwise(0)).as(l)))
+      .orderBy("name")
+  }
+
+  /** B15 (:251-294): per (inspection, cluster ≠ −1): 9 conditional sums,
+    * min(framenumber), count, argmax-by-uciqe key frame (ties → first,
+    * i.e. lowest frame id, matching the reference's strict `>` reduce),
+    * keyword labels where count > n/3.
+    */
+  def clusterTable(frames: DataFrame, triples: DataFrame): DataFrame = {
+    val inCluster = triples.where(col("pred") === "IN_CLUSTER")
+      .select(col("subj").as("frame_id"), col("obj").as("cluster_id"))
+    val joined = frames.join(inCluster, Seq("frame_id"))
+      .where(!col("cluster_id").endsWith(".-1"))
+    val labelSums = Ontology.findingLabels.map(l =>
+      sum(when(col(l) > 0, 1).otherwise(0)).as(s"${l}_n"))
+    val aggd = joined.groupBy("inspection_id", "cluster_id")
+      .agg(Seq(
+        min("framenumber").as("first_frame"),
+        count(lit(1)).as("n"),
+        max_by(col("frame_id"), struct(col("uciqe"), col("frame_id"))).as("key_frame")
+      ) ++ labelSums)
+    val keywords = array(Ontology.findingLabels.map(l =>
+      when(col(s"${l}_n") > col("n") / 3, lit(l))): _*)
+    aggd.withColumn("keywords", filter(keywords, _.isNotNull))
+      .orderBy("inspection_id", "cluster_id")
+  }
+
+  /** B16 (query.py:10-15): DISTINCT node labels. */
+  def labels(nodes: DataFrame): DataFrame = nodes.select("label").distinct()
+}
