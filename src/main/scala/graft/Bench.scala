@@ -1,24 +1,93 @@
 package graft
+
+import graft.corpus.CorpusGen
+import graft.pipeline.KgPipeline
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness. Prints ONE JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},
+  *    "sf":"...","triples":N,"triples_per_sec":R,
+  *    "scaling":{"cores_a":8,"tps_a":...,"cores_b":32,"tps_b":...,"efficiency":...}}
+  *
+  * The headline is the BASELINE.json metric — triples/sec for the
+  * end-to-end extract→link→canonicalize→materialize job — plus the
+  * two-parallelism-level scaling protocol of BASELINE.md §3
+  * (same deterministic corpus at local[N] and local[4N]).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One full pipeline run; returns (seconds, triples). */
+  def pipelineRun(spark: SparkSession, rows: Long, nRepos: Int, cores: Int,
+                  outDir: String): (Double, Long) = {
+    implicit val sp: SparkSession = spark
+    val t0 = System.nanoTime()
+    val corpus = CorpusGen.corpus(spark,
+      CorpusGen.Config(rows, nRepos, partitions = cores * 2))
+    val result = KgPipeline.runFull(corpus, exactKnn = false)
+    KgPipeline.write(result, outDir)
+    val n = spark.read.parquet(s"$outDir/triples").count()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "150000").toLong
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+    val nRepos = math.max((benchRows / 1500).toInt, 1)
+
+    // --- 1. operator queries on the driver's tables ---
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // --- 2. headline: end-to-end pipeline triples/sec at full cores ---
+    val (pipeSec, nTriples) = pipelineRun(spark, benchRows, nRepos, cpus, "/tmp/graft_bench")
+    val tps = nTriples / pipeSec
+
+    // --- 3. scaling protocol: same input, local[8] vs local[32] ---
+    var scalingJson = ""
+    if (doScaling) {
+      spark.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val coresA = math.max(cpus / 4, 2)
+      val sA = session(coresA)
+      val (secA, nA) = pipelineRun(sA, benchRows, nRepos, coresA, "/tmp/graft_scale_a")
+      sA.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val sB = session(cpus)
+      val (secB, nB) = pipelineRun(sB, benchRows, nRepos, cpus, "/tmp/graft_scale_b")
+      spark = sB
+      val tpsA = nA / secA; val tpsB = nB / secB
+      // efficiency = throughput_B / (coreRatio × throughput_A), BASELINE.md §3
+      val eff = tpsB / ((cpus.toDouble / coresA) * tpsA)
+      scalingJson = f""","scaling":{"cores_a":$coresA,"sec_a":$secA%.2f,"tps_a":$tpsA%.0f,""" +
+        f""""cores_b":$cpus,"sec_b":$secB%.2f,"tps_b":$tpsB%.0f,"efficiency":$eff%.3f}"""
+    }
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + pipeSec
+    println(
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        f""""pipeline_rows":$benchRows,"triples":$nTriples,"triples_per_sec":$tps%.0f$scalingJson}""")
     spark.stop()
   }
 }

@@ -21,8 +21,18 @@ object Main {
       GraftSession(cores, "graft-analyze")
     val t0 = System.nanoTime()
     val corpus = CorpusGen.corpus(spark, CorpusGen.Config(rows, nRepos, partitions = cores * 2))
-    val full = args.length <= 4 || args(4) != "phase1"
-    val result = if (full) KgPipeline.runFull(corpus) else KgPipeline.run(corpus)
+    val mode = if (args.length > 4) args(4) else "full"
+    if (mode == "ckpt") {
+      // checkpointed run with per-stage metrics (lineage/StageManager)
+      val tr = KgPipeline.runCheckpointed(corpus, s"$outDir/run", exactKnn = false)
+      val n = tr.count()
+      val secs0 = (System.nanoTime() - t0) / 1e9
+      println(f"[graft] ckpt rows=$rows triples=$n wall=$secs0%.2fs rate=${n / secs0}%.0f t/s")
+      scala.io.Source.fromFile(s"$outDir/run/metrics.jsonl").getLines().foreach(println)
+      spark.stop(); return
+    }
+    val result = if (mode == "phase1") KgPipeline.run(corpus)
+                 else KgPipeline.runFull(corpus, exactKnn = false)
     KgPipeline.write(result, outDir)
     val secs = (System.nanoTime() - t0) / 1e9
 

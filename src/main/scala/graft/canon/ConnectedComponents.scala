@@ -36,17 +36,30 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // min component among neighbors, partial-aggregated map-side
+      // 1) min component among neighbors, partial-aggregated map-side
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min(col("component")).as("nbrMin"))
-      val updated = labels.join(msgs, labels("id") === msgs("id2"), "left")
+      val stepped = labels.join(msgs, labels("id") === msgs("id2"), "left")
         .select(
           col("id"),
           least(col("component"), coalesce(col("nbrMin"), col("component"))).as("component"),
           (col("nbrMin").isNotNull && col("nbrMin") < col("component")).as("changed")
         )
+
+      // 2) pointer jumping: component := component(component) — collapses
+      // long chains in O(log diameter) rounds instead of O(diameter)
+      val reps = stepped.select(col("id").as("rid"), col("component").as("rcomp"))
+      val updated = stepped.join(reps, stepped("component") === reps("rid"), "left")
+        .select(
+          stepped("id"),
+          least(stepped("component"), coalesce(col("rcomp"), stepped("component")))
+            .as("component"),
+          (stepped("changed") ||
+            (col("rcomp").isNotNull && col("rcomp") < stepped("component"))).as("changed")
+        )
         .localCheckpoint(eager = true)
+
       val nChanged = updated.where(col("changed")).count()
       labels = updated.drop("changed")
       converged = nChanged == 0
@@ -54,4 +67,15 @@ object ConnectedComponents {
     }
     labels
   }
+
+  /** Same algorithm over string vertex ids (used for contracted graphs
+    * like grid cells); representative = lexicographic min id.
+    * edges: (srcS, dstS) → (sid, component_s).
+    */
+  def runString(edges: DataFrame, maxIter: Int = 25)(
+      implicit spark: SparkSession): DataFrame =
+    run(
+      edges.select(col("srcS").as("src"), col("dstS").as("dst")),
+      maxIter
+    ).select(col("id").as("sid"), col("component").as("component_s"))
 }

@@ -23,16 +23,73 @@ object Dbscan {
     * per group ordered by min member id; noise = −1.
     */
   def cluster(points: DataFrame, eps: Double, minPts: Int)(
-      implicit spark: SparkSession): DataFrame = {
+      implicit spark: SparkSession): DataFrame =
+    clusterFromNeighbors(points, exactNeighbors(points, eps), minPts)
+
+  /** Web-scale variant: grid-DBSCAN. Points land in ε-sized grid cells
+    * (map-only); a cell with ≥ minPts points is core; core cells that
+    * are face-adjacent merge via connected components over the *cell*
+    * graph — orders of magnitude smaller than the point graph, so the
+    * iterative CC converges on a contracted problem. Density semantics
+    * are the standard grid approximation of DBSCAN (cell diagonal ≤ ε
+    * merge guarantee in each axis direction).
+    */
+  def clusterApprox(points: DataFrame, eps: Double, minPts: Int,
+                    maxDegree: Int = 16)(implicit spark: SparkSession): DataFrame = {
+    val pts = points.select(col("id"), col("group"), col("vec"))
+      .withColumn("cell", concat_ws(",", col("group"),
+        expr("array_join(transform(vec, v -> cast(floor(v / " + eps + ") as string)), '_')")))
+      .localCheckpoint(eager = true)
+
+    val cellCounts = pts.groupBy("group", "cell").agg(count(lit(1)).as("cnt"))
+    val coreCells = cellCounts.where(col("cnt") >= minPts)
+      .select("group", "cell").localCheckpoint(eager = true)
+
+    // face-adjacent neighbor cells (±1 along each axis)
+    val dims = points.select(size(col("vec"))).first().getInt(0)
+    val offsets = (0 until dims).flatMap(d => Seq((d, 1), (d, -1)))
+    val withCoords = coreCells.withColumn("coords",
+      split(element_at(split(col("cell"), ","), 2), "_").cast("array<long>"))
+    val nbrCells = withCoords.select(col("group"), col("cell"),
+      explode(array(offsets.map { case (d, off) =>
+        concat_ws(",", col("group"),
+          array_join(transform(col("coords"), (v, i) =>
+            when(i === d, v + off).otherwise(v).cast("string")), "_"))
+      }: _*)).as("nbr"))
+    val cellEdges = nbrCells
+      .join(coreCells.select(col("cell").as("nbr")), Seq("nbr"), "left_semi")
+      .select(col("cell").as("srcS"), col("nbr").as("dstS"))
+
+    // CC over the contracted cell graph (string ids, min-lexicographic rep)
+    val comps = ConnectedComponents.runString(cellEdges)
+    val cellComp = coreCells
+      .join(comps, coreCells("cell") === comps("sid"), "left")
+      .select(col("group"), col("cell"),
+        coalesce(col("component_s"), col("cell")).as("component"))
+
+    val w = Window.partitionBy("group").orderBy("component")
+    val numbered = cellComp
+      .select(col("group"), col("cell"), col("component")).distinct()
+      .withColumn("cluster", (dense_rank().over(w) - 1).cast("long"))
+
+    val assigned = pts.join(numbered.select("cell", "cluster"), Seq("cell"), "left")
+    assigned.select(col("id"), col("group"),
+      coalesce(col("cluster"), lit(-1L)).as("cluster"))
+  }
+
+  /** Exact in-group ε-ball join (fixture scale). */
+  private def exactNeighbors(points: DataFrame, eps: Double): DataFrame = {
     val a = points.select(col("id").as("src"), col("group"), col("vec").as("va"))
     val b = points.select(col("id").as("dst"), col("group"), col("vec").as("vb"))
-    // ε-ball neighbor edges within group (exact; swap in KnnJoin.approxTopK
-    // bucketing for web-scale inputs)
-    val nbrs = a.join(b, Seq("group"))
+    a.join(b, Seq("group"))
       .where(col("src") =!= col("dst") &&
         KnnJoin.sqDist(col("va"), col("vb")) <= lit(eps * eps))
       .select("group", "src", "dst")
-      .localCheckpoint(eager = true)
+  }
+
+  private def clusterFromNeighbors(points: DataFrame, neighborEdges: DataFrame,
+                                   minPts: Int)(implicit spark: SparkSession): DataFrame = {
+    val nbrs = neighborEdges.localCheckpoint(eager = true)
 
     val degrees = nbrs.groupBy("src").agg(count("*").as("deg"))
     // core: |N_eps(p)| >= minPts counting the point itself

@@ -29,8 +29,10 @@ object KnnJoin {
     * within its group, deterministic ties by dst id.
     */
   def exactTopK(feat: DataFrame, k: Int): DataFrame = {
-    val a = feat.select(col("id").as("src"), col("group"), col("vec").as("va"))
-    val b = feat.select(col("id").as("dst"), col("group"), col("vec").as("vb"))
+    // self-join: materialize once or the whole upstream lineage runs twice
+    val f = feat.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = f.select(col("id").as("src"), col("group"), col("vec").as("va"))
+    val b = f.select(col("id").as("dst"), col("group"), col("vec").as("vb"))
     val w = Window.partitionBy("src").orderBy(col("distance"), col("dst"))
     a.join(b, Seq("group"))
       .where(col("src") =!= col("dst"))
@@ -70,6 +72,9 @@ object KnnJoin {
         struct(lit(t).as("t"), signature(t).as("sig"))): _*)).as("h"))
       .select(col("id"), col("group"), col("vec"),
         col("h.t").as("t"), col("h.sig").as("sig"))
+      // self-join below: without materialization the signature stage and
+      // everything upstream would execute once per join side
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = tagged.select(col("id").as("src"), col("group"), col("t"), col("sig"), col("vec").as("va"))
     val b = tagged.select(col("id").as("dst"), col("group"), col("t"), col("sig"), col("vec").as("vb"))

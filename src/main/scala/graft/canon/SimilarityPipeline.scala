@@ -27,6 +27,31 @@ object SimilarityPipeline {
     when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity, 0.0)
       .otherwise(c)
 
+  /** Per-group z-score standardization of the feature vector (the
+    * reference's StandardScaler step, similarity_pipeline.py:129-135).
+    * Besides matching semantics, this is what keeps the LSH buckets
+    * balanced — an unscaled dominant dimension (framenumber) collapses
+    * every row into a handful of signatures and the bucket join goes
+    * quadratic.
+    */
+  def standardize(feat: DataFrame): DataFrame = {
+    val stats = feat
+      .select(col("group"), posexplode(col("vec")).as(Seq("dim", "v")))
+      .groupBy("group", "dim")
+      .agg(avg("v").as("mu"), stddev_pop("v").as("sigma"))
+      .groupBy("group")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mu"), col("sigma")))).as("st"))
+      .select(col("group"),
+        transform(col("st"), s => s("mu")).as("mu"),
+        transform(col("st"), s => s("sigma")).as("sigma"))
+    feat.join(stats, Seq("group"))
+      .withColumn("vec", transform(col("vec"), (v, i) =>
+        (v - element_at(col("mu"), i + 1)) /
+          when(element_at(col("sigma"), i + 1) > 1e-12,
+            element_at(col("sigma"), i + 1)).otherwise(1.0)))
+      .select("id", "group", "vec")
+  }
+
   def telemetryFeatures(frames: DataFrame): DataFrame =
     frames.select(
       col("frame_id").as("id"),
@@ -52,7 +77,8 @@ object SimilarityPipeline {
   def similarTriples(frames: DataFrame, labels: Seq[String],
                      exact: Boolean = true): DataFrame = {
     def knn(feat: DataFrame) =
-      if (exact) KnnJoin.exactTopK(feat, K) else KnnJoin.approxTopK(feat, K)
+      if (exact) KnnJoin.exactTopK(feat, K)
+      else KnnJoin.approxTopK(standardize(feat), K)
     val tele = knn(telemetryFeatures(frames)).select(
       col("src").as("subj"), lit("SIMILAR_TO").as("pred"), col("dst").as("obj"),
       lit(null).cast("double").as("classification"),
@@ -72,14 +98,19 @@ object SimilarityPipeline {
     * reference's shape (DBSCAN(eps, min_samples=5)); eps is in the
     * telemetry feature space.
     */
-  def clusterTriples(frames: DataFrame, eps: Double = 8.0, minPts: Int = 5)(
+  def clusterTriples(frames: DataFrame, eps: Double = 8.0, minPts: Int = 5,
+                     exact: Boolean = true)(
       implicit spark: SparkSession): (DataFrame, DataFrame) = {
-    val feats = telemetryFeatures(frames)
-      // framenumber dominates raw distances; scale it down so density
-      // reflects telemetry, mirroring the reference's standardization
-      .withColumn("vec", transform(col("vec"),
-        (v, i) => when(i === 4, v / 100.0).otherwise(v)))
-    val clusters = Dbscan.cluster(feats, eps, minPts)
+    val raw = telemetryFeatures(frames)
+    val clusters =
+      if (exact)
+        // fixture scale: framenumber scaled down so density reflects
+        // telemetry (the reference standardizes before DBSCAN)
+        Dbscan.cluster(raw.withColumn("vec", transform(col("vec"),
+          (v, i) => when(i === 4, v / 100.0).otherwise(v))), eps, minPts)
+      else
+        // web scale: standardized space, ε in z-score units
+        Dbscan.clusterApprox(standardize(raw), 1.0, minPts, maxDegree = 16)
     val member = clusters.where(col("cluster") >= 0)
       .withColumn("cluster_id",
         concat(lit("c"), col("group"), lit("."), col("cluster")))
@@ -94,7 +125,7 @@ object SimilarityPipeline {
   def run(frames: DataFrame, labels: Seq[String] = Ontology.allLabels,
           exact: Boolean = true)(implicit spark: SparkSession): (DataFrame, DataFrame) = {
     val sims = similarTriples(frames, labels, exact)
-    val (clusterT, clusterN) = clusterTriples(frames)
+    val (clusterT, clusterN) = clusterTriples(frames, exact = exact)
     (sims.unionByName(clusterT), clusterN)
   }
 }

@@ -83,7 +83,9 @@ object Dedup {
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8, numHashes: Int = 64,
                    bands: Int = 16, shingle: Int = 5)(
       implicit spark: SparkSession): DataFrame = {
+    // sigs feed candidate banding + two score-joins: materialize once
     val sigs = minhashSignatures(docs, numHashes, shingle)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidates(sigs, bands)
     val sa = sigs.select(col("doc_id").as("a"), col("signature").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("b"), col("signature").as("sig_b"))

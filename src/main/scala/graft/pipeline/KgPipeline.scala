@@ -34,7 +34,10 @@ object KgPipeline {
     val labels = dict.map(_._1)
     val ships = ShipCatalog.dim(corpus)
     val features = MentionExtractor.extract(corpus, dict)
+    // frames feeds ≥4 downstream branches (HAS_FRAME, DEPICTS, nodes,
+    // phase 2) — persist so the extract scan runs once, not per branch
     val frames = MentionExtractor.frames(features, labels, ships)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val triples = TripleBuilder.hasOntology(ships)
       .unionByName(TripleBuilder.hasInspection(ships))
@@ -62,6 +65,40 @@ object KgPipeline {
       nodes = base.nodes.unionByName(mosaicNodes).unionByName(clusterNodes))
   }
 
+  /** Checkpointed variant: each stage boundary goes through a
+    * [[graft.lineage.StageManager]] — kill the job between stages and a
+    * re-run resumes from the last complete checkpoint with identical
+    * final triples (north rule exact-resume requirement).
+    */
+  def runCheckpointed(corpus: Dataset[CorpusRow], runDir: String,
+                      dict: Seq[(String, String)] = CompiledDict.selfNamed,
+                      exactKnn: Boolean = true)(
+      implicit spark: SparkSession): DataFrame = {
+    val labels = dict.map(_._1)
+    val mgr = new graft.lineage.StageManager(runDir)
+
+    val frames = mgr.stage("frames", Seq("frame_id")) {
+      val ships = ShipCatalog.dim(corpus)
+      MentionExtractor.frames(MentionExtractor.extract(corpus, dict), labels, ships)
+    }
+    val phase1 = mgr.stage("triples_phase1", Seq("subj", "pred", "obj")) {
+      val ships = ShipCatalog.dim(corpus)
+      TripleBuilder.hasOntology(ships)
+        .unionByName(TripleBuilder.hasInspection(ships))
+        .unionByName(TripleBuilder.hasFrame(frames))
+        .unionByName(EntityLinker.depicts(frames, labels))
+    }
+    val mosaics = mgr.stage("triples_mosaic", Seq("subj", "pred", "obj")) {
+      graft.materialize.Mosaics.build(frames, labels)._1
+    }
+    val sims = mgr.stage("triples_similarity", Seq("subj", "pred", "obj")) {
+      graft.canon.SimilarityPipeline.run(frames, labels, exactKnn)._1
+    }
+    mgr.stage("triples", Seq("subj", "pred", "obj"), Seq("pred")) {
+      phase1.unionByName(mosaics).unionByName(sims)
+    }
+  }
+
   /** Row-invariant check column (BASELINE.json input_hint): sha256 of
     * content as a Catalyst expression, compared against an expected
     * digest column when present.
@@ -74,17 +111,23 @@ object KgPipeline {
     * deterministic sort within partitions for byte-stable resume).
     */
   def write(result: Result, outDir: String): Unit = {
+    val spark = result.triples.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // hash on (pred, subj) so every writer task carries work — a plain
+    // repartition(pred) would funnel each predicate through one task;
+    // sortWithinPartitions leads with pred so the partitionBy writer
+    // keeps a single open file per task
     result.triples
-      .repartition(col("pred"))
-      .sortWithinPartitions("subj", "pred", "obj")
+      .repartition(parts, col("pred"), col("subj"))
+      .sortWithinPartitions("pred", "subj", "obj")
       .write.mode("overwrite").partitionBy("pred").parquet(s"$outDir/triples")
     result.frames
-      .repartition(col("inspection_id"))
-      .sortWithinPartitions("frame_id")
+      .repartition(parts, col("inspection_id"), col("frame_id"))
+      .sortWithinPartitions("inspection_id", "frame_id")
       .write.mode("overwrite").parquet(s"$outDir/frames")
     result.nodes
-      .repartition(col("label"))
-      .sortWithinPartitions("id")
+      .repartition(parts, col("label"), col("id"))
+      .sortWithinPartitions("label", "id")
       .write.mode("overwrite").partitionBy("label").parquet(s"$outDir/nodes")
   }
 }

@@ -107,14 +107,18 @@ object GraphQueries {
     * iterative self-join; powers B11's variable-length path.
     */
   def ontologyClosure(triples: DataFrame): DataFrame = {
-    val has = triples.where(col("pred") === "HAS").select("subj", "obj")
-    var closure = has.select(col("subj").as("anc"), col("obj").as("desc"))
-    var frontier = closure
+    val has = triples.where(col("pred") === "HAS")
+      .select(col("subj").as("anc"), col("obj").as("desc"))
+    var closure = has
+    var frontier = has
     var n = closure.count()
     var grown = true
     while (grown) {
-      val next = frontier.join(has, frontier("desc") === has("subj"))
-        .select(frontier("anc"), has("obj").as("desc"))
+      // rename to disambiguate the self-join lineage
+      val step = frontier.select(col("anc").as("f_anc"), col("desc").as("f_desc"))
+      val hop = has.select(col("anc").as("h_anc"), col("desc").as("h_desc"))
+      val next = step.join(hop, col("f_desc") === col("h_anc"))
+        .select(col("f_anc").as("anc"), col("h_desc").as("desc"))
       closure = closure.unionByName(next).distinct().localCheckpoint(eager = true)
       val n2 = closure.count()
       grown = n2 > n

@@ -1,0 +1,97 @@
+package graft
+
+import graft.corpus.CorpusGen
+import graft.pipeline.KgPipeline
+import graft.query.GraphQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphQueriesSpec extends AnyFunSuite {
+  lazy implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+
+  val cfg = CorpusGen.Config(rows = 900, nRepos = 3, partitions = 4)
+  lazy val result = KgPipeline.runFull(CorpusGen.corpus(spark, cfg))
+  lazy val frames = result.frames.persist()
+  lazy val triples = result.triples.persist()
+
+  test("B2 inspections: one distinct row per repo") {
+    assert(GraphQueries.inspections(frames).count() === cfg.nRepos)
+  }
+
+  test("B13 heading bins cover 0..330 in steps of 30 and sum to row count") {
+    val hist = GraphQueries.headingsHist(frames).collect()
+    val bins = hist.map(_.getInt(1)).distinct
+    assert(bins.forall(b => b >= 0 && b < 360 && b % 30 == 0))
+    assert(hist.map(_.getLong(2)).sum === cfg.rows)
+  }
+
+  test("B13 bin arithmetic matches the reference formula on edge cases") {
+    import spark.implicits._
+    // (round((H - ship + 180... reference uses round; we bin equivalently:
+    // pmod(round((h-s)/30)*30, 360)
+    val df = Seq((359.9, 0.0), (15.1, 0.0), (14.9, 0.0), (180.0, 170.0))
+      .toDF("h", "s")
+      .select(GraphQueries.headingBin(col("h"), col("s")).as("bin"))
+    assert(df.as[Int].collect().toSeq === Seq(0, 30, 0, 0 + 30 * 0)) // 10/30 rounds to 0
+  }
+
+  test("B14 ship table: conditional sums match a recount") {
+    val got = GraphQueries.shipTable(frames).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = frames.groupBy("ship_name")
+      .agg(sum(when(col("marine_growth_classification") > 0.8, 1).otherwise(0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("B7+B8: similarity edges of the top-k set stay within the set (undirected)") {
+    val base = GraphQueries.baseScan(frames,
+      frames.select("inspection_id").distinct().collect().map(_.getLong(0)).toSeq,
+      lit(true))
+    val top = GraphQueries.graphFrames(base, 50).select("frame_id")
+    val edges = GraphQueries.similarityEdges(triples, top, "SIMILAR_TO", 1e9)
+    val ids = top.collect().map(_.getString(0)).toSet
+    val es = edges.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(es.nonEmpty)
+    assert(es.forall { case (a, b) => ids.contains(a) || ids.contains(b) })
+  }
+
+  test("B9 mosaic quality equals group average") {
+    val mq = GraphQueries.mosaicQuality(frames, triples)
+    val check = mq.groupBy("mosaic_id")
+      .agg((max("mosaic_quality") - avg("uciqe")).as("diff"))
+      .where(abs(col("diff")) > 1e-9).count()
+    assert(check === 0)
+  }
+
+  test("B11 part/ship paths: every DEPICTS frame reaches its ship") {
+    val paths = GraphQueries.partShipPaths(frames, triples)
+    val nDepicts = triples.where("pred = 'DEPICTS'").count()
+    // every depicts part is reachable from exactly one ship
+    assert(paths.count() === nDepicts)
+    assert(paths.where(!col("ship_id").startsWith("ship_")).count() === 0)
+  }
+
+  test("B15 cluster table: keywords only for labels above n/3, key frame has max uciqe") {
+    val ct = GraphQueries.clusterTable(frames, triples)
+    assert(ct.count() > 0)
+    val row = ct.limit(1).collect()(0)
+    val keyFrame = row.getAs[String]("key_frame")
+    val clusterId = row.getAs[String]("cluster_id")
+    val inCluster = triples.where(col("pred") === "IN_CLUSTER" && col("obj") === clusterId)
+      .select(col("subj").as("frame_id"))
+    val maxU = frames.join(inCluster, Seq("frame_id")).agg(max("uciqe")).collect()(0).getDouble(0)
+    val kfU = frames.where(col("frame_id") === keyFrame).select("uciqe").collect()(0).getDouble(0)
+    assert(math.abs(maxU - kfU) < 1e-12)
+  }
+
+  test("B16 labels lists all node types") {
+    val ls = GraphQueries.labels(result.nodes).collect().map(_.getString(0)).toSet
+    assert(Set("Ship", "Inspection", "Classification", "Frame") subsetOf ls)
+  }
+
+  test("B12 marine-growth ratio is guarded and capped") {
+    val mg = GraphQueries.histogramData(frames, triples)("marine_growth_ratio")
+    assert(mg.where(col("marine_growth_ratio") < 0 || col("marine_growth_ratio") > 1).count() === 0)
+  }
+}
