@@ -363,6 +363,61 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.sampleFrames(
         Multimodal.decodeFeatures(Multimodal.syntheticMedia(s, 1000)), step = 30)
+    }),
+    "fuzzy_link" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // mentions = misspelled component names planted deterministically
+      val entities = graft.core.Ontology.entries
+        .map(e => (e.visCode, e.name)).toDF("entity_id", "name")
+      val mentions = t(s, dir, "documents").select(
+        col("doc_id").as("mention_id"),
+        concat(
+          element_at(split(col("text"), " "), 1), lit(" "),
+          lit("propeler arangement")).as("text"))
+        .limit(200)
+      graft.link.FuzzyLinker.link(
+        mentions.select(col("mention_id"), lit("propeler arangement").as("text")),
+        entities)
+    }),
+    "telemetry_interp" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // resample event values per user onto a 64-point uniform grid
+      val samples = t(s, dir, "events").select(
+        col("user_id").as("inspection_id"),
+        unix_micros(col("ts").cast("timestamp")).cast("double").as("ts"),
+        col("event_type").as("channel"), col("value"))
+      graft.extract.TelemetryInterpolation.interpolate(samples, 64)
+    }),
+    "kg_similar_edges" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.canon.SimilarityPipeline.similarTriples(
+        docFrames(s, dir), docLabels, exact = false)
+    }),
+    "kg_clusters" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // exact eps-join path: small per-repo groups (grid cells need
+      // dense populations); web-scale grid variant runs in the bench
+      graft.canon.SimilarityPipeline.clusterTriples(
+        docFrames(s, dir), exact = true)._1
+    }),
+    "kg_mosaics" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.materialize.Mosaics.build(docFrames(s, dir), docLabels)._1
+    }),
+    "cc_components" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val edges = SimilaritySearch.neighborGraph(
+        t(s, dir, "embeddings"), k = 3, exact = true)
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      graft.canon.ConnectedComponents.run(edges)
+    }),
+    "pca_reduce" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.canon.Reduce.pca(
+        t(s, dir, "embeddings").select(col("vec_id").cast("string").as("id"),
+          col("label").cast("long").as("group"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec")), 8)
     })
   )
 

@@ -71,11 +71,35 @@ object ConnectedComponents {
   /** Same algorithm over string vertex ids (used for contracted graphs
     * like grid cells); representative = lexicographic min id.
     * edges: (srcS, dstS) → (sid, component_s).
+    *
+    * Contracted graphs are usually tiny relative to the input (cells,
+    * not points), so below `collectThreshold` edges the component
+    * computation collapses to one collect + driver union-find + one
+    * small broadcastable result — removing ~4 barrier stages per
+    * iteration of the distributed loop. Above the threshold the
+    * distributed hash-min loop runs as usual.
     */
-  def runString(edges: DataFrame, maxIter: Int = 25)(
-      implicit spark: SparkSession): DataFrame =
-    run(
-      edges.select(col("srcS").as("src"), col("dstS").as("dst")),
-      maxIter
-    ).select(col("id").as("sid"), col("component").as("component_s"))
+  def runString(edges: DataFrame, maxIter: Int = 25,
+                collectThreshold: Long = 500000L)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val e = edges.select(col("srcS").as("src"), col("dstS").as("dst"))
+    if (e.limit((collectThreshold + 1).toInt).count() <= collectThreshold) {
+      val local = e.as[(String, String)].collect()
+      val parent = scala.collection.mutable.Map[String, String]()
+      def find(x: String): String = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      local.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keys.toSeq.map(k => (k, find(k))).toDF("sid", "component_s")
+    } else {
+      run(e, maxIter).select(col("id").as("sid"), col("component").as("component_s"))
+    }
+  }
 }

@@ -39,11 +39,12 @@ object Dbscan {
     val pts = points.select(col("id"), col("group"), col("vec"))
       .withColumn("cell", concat_ws(",", col("group"),
         expr("array_join(transform(vec, v -> cast(floor(v / " + eps + ") as string)), '_')")))
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cellCounts = pts.groupBy("group", "cell").agg(count(lit(1)).as("cnt"))
     val coreCells = cellCounts.where(col("cnt") >= minPts)
-      .select("group", "cell").localCheckpoint(eager = true)
+      .select("group", "cell")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // face-adjacent neighbor cells (±1 along each axis)
     val dims = points.select(size(col("vec"))).first().getInt(0)
