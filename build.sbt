@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch throughput: ParallelGC beats G1 for this allocation profile,
+  // and GC burn is what caps local[N] scaling at high thread counts
+  sys.env.getOrElse("SPARK_GC", "-XX:+UseParallelGC"),
 )

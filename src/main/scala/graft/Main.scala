@@ -19,6 +19,19 @@ object Main {
 
     implicit val spark: org.apache.spark.sql.SparkSession =
       GraftSession(cores, "graft-analyze")
+    // utilization accounting: Σ task time vs cores × wall
+    val taskTime = new java.util.concurrent.atomic.AtomicLong()
+    val jobCount = new java.util.concurrent.atomic.AtomicLong()
+    val gcTime = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          taskTime.addAndGet(te.taskMetrics.executorRunTime)
+          gcTime.addAndGet(te.taskMetrics.jvmGCTime)
+        }
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    })
     val t0 = System.nanoTime()
     val corpus = CorpusGen.corpus(spark, CorpusGen.Config(rows, nRepos, partitions = cores * 2))
     val mode = if (args.length > 4) args(4) else "full"
@@ -40,7 +53,10 @@ object Main {
     val triples = scala.util.Try(spark.read.parquet(s"$outDir/triples"))
     val nTriples = triples.map(_.count()).getOrElse(0L)
     println(f"[graft] rows=$rows repos=$nRepos cores=$cores wall=$secs%.2fs " +
-      f"triples=$nTriples rate=${nTriples / secs}%.0f triples/sec")
+      f"triples=$nTriples rate=${nTriples / secs}%.0f triples/sec " +
+      f"jobs=${jobCount.get} taskSec=${taskTime.get / 1000.0}%.0f " +
+      f"util=${taskTime.get / 1000.0 / (cores * secs) * 100}%.0f%% " +
+      f"gcSec=${gcTime.get / 1000.0}%.0f")
     triples.foreach(_.groupBy("pred").count().orderBy("pred").show(20, truncate = false))
     spark.stop()
   }

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object KnnJoin {
 
-  /** Squared L2 between two array<double> columns (HOF, no UDF). */
-  def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+  /** Squared L2 between two array<double> columns — native codegen'd
+    * expression (graft.core.VectorExprs), not a boxed HOF lambda.
+    */
+  def sqDist(a: Column, b: Column): Column = graft.core.VectorExprs.sq_dist(a, b)
 
   def dist(a: Column, b: Column): Column = sqrt(sqDist(a, b))
 
@@ -58,10 +59,8 @@ object KnnJoin {
     def signature(t: Int): Column = {
       val bitCols = (0 until bits).map { bit =>
         val planes = lit((0 until dims).map(d => planeCoef(t, bit, d)).toArray)
-        // slice planes to |vec| — zip_with null-pads length mismatches
-        val dot = aggregate(
-          zip_with(col("vec"), slice(planes, lit(1), size(col("vec"))), (x, c) => x * c),
-          lit(0.0), (acc, v) => acc + v)
+        // Dot runs over min(|vec|, |planes|) — no slicing needed
+        val dot = graft.core.VectorExprs.vec_dot(col("vec"), planes)
         when(dot >= 0, lit(1L << bit)).otherwise(lit(0L))
       }
       bitCols.reduce(_ + _)

@@ -11,10 +11,18 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def apply(cores: Int, appName: String = "graft"): SparkSession = {
-    val shufflePartitions = math.max(cores, 8)
+    // 3x cores: straggler tails idle the fleet when partitions == cores;
+    // AQE coalesces the small ones back
+    val shufflePartitions = math.max(cores * 3, 24)
+    val localDir = sys.env.getOrElse("SPARK_LOCAL_DIRS",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark" else "/tmp/graft-spark")
+    // SPARK_GRAFT_MASTER overrides, e.g. "local-cluster[4,8,8192]" to run
+    // real executor JVMs on one box (the N-executors protocol shape)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
     val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName(appName)
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

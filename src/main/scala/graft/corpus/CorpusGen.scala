@@ -33,6 +33,12 @@ object CorpusGen {
   private val langs = Array("scala", "java", "python", "md", "txt")
   private val hotLabels = Set("ship_hull", "marine_growth")
 
+  // precomputed filler vocabulary — the hot loop must not run a
+  // java.util.Formatter per token (GC throughput caps scaling at
+  // high thread counts)
+  private val fillerVocab: Array[String] =
+    Array.tabulate(1000)(i => "w" + (if (i < 10) "00" else if (i < 100) "0" else "") + i)
+
   def corpus(spark: SparkSession, cfg: Config): Dataset[CorpusRow] = {
     import spark.implicits._
     val parts = cfg.partitions
@@ -65,24 +71,35 @@ object CorpusGen {
     }
 
     // filler tokens from a disjoint vocabulary (w###: never collides with
-    // any label substring)
+    // any label substring); single pre-sized array + one StringBuilder —
+    // no per-token Formatter, no O(n²) inserts
     val nFiller = 30 + rng.nextInt(120)
-    val tokens = scala.collection.mutable.ArrayBuffer.tabulate(nFiller) { _ =>
-      f"w${rng.nextInt(1000)}%03d"
-    }
+    val tokens = new Array[String](nFiller)
+    i = 0
+    while (i < nFiller) { tokens(i) = fillerVocab(rng.nextInt(1000)); i += 1 }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    buf.sizeHint(nFiller + 32)
+    buf ++= tokens
     i = 0
     while (i < labels.length) {
       var c = counts(i)
       while (c > 0) {
-        tokens.insert(rng.nextInt(tokens.length + 1), labels(i))
+        buf.insert(rng.nextInt(buf.length + 1), labels(i))
         c -= 1
       }
       i += 1
     }
-    val content = tokens.mkString(" ")
+    val sb = new java.lang.StringBuilder(buf.length * 8)
+    i = 0
+    while (i < buf.length) {
+      if (i > 0) sb.append(' ')
+      sb.append(buf(i))
+      i += 1
+    }
+    val content = sb.toString
 
     val h1 = rng.nextLong(); val h2 = rng.nextLong()
-    val commit = (f"$h1%016x$h2%016x" * 2).substring(0, 40)
+    val commit = (java.lang.String.format("%016x%016x", h1, h2) * 2).substring(0, 40)
     CorpusRow(repoName(rIdx), pathFor(frameNo, lang), commit, lang, content)
   }
 

@@ -80,6 +80,14 @@ class GoldenTripleSpec extends AnyFunSuite {
     assert(depicts.where("classification <= 0 OR classification > 1").count() === 0)
   }
 
+  test("skewed corpus (hot labels on every row) still reaches P=R=1.0") {
+    val skewCfg = cfg.copy(rows = 1500, hotLabelProb = 1.0, coldLabelProb = 0.6)
+    val got = KgPipeline.run(CorpusGen.corpus(spark, skewCfg))
+      .triples.select("subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === goldenTriples(skewCfg))
+  }
+
   test("per-row sha256 invariant holds on the corpus") {
     val corpus = CorpusGen.corpus(spark, cfg.copy(rows = 500)).toDF()
     val withSha = KgPipeline.withInvariant(corpus)
