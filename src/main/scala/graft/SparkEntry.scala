@@ -234,6 +234,19 @@ object SparkEntry {
 
     // --- dedup / text analysis over documents ---
 
+    "q16_distinct_count" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    "q17_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("total_cents"))
+        .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))),
+
     "q20_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy("content_hash")),
 
@@ -412,6 +425,20 @@ object SparkEntry {
         .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       graft.canon.ConnectedComponents.run(edges)
     }),
+    "streaming_sessions" -> ((s, dir) => {
+      // Structured Streaming surface, driven synchronously: session_window
+      // over the event stream, complete mode, memory sink
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = t(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+      batch.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(batch.schema).parquet(tmp)
+      val q = graft.streaming.StreamingIngest.sessionCounts(stream, gap = "30 minutes")
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_sessions_q").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.sql("SELECT user_id, count(*) AS n_sessions FROM graft_sessions_q GROUP BY 1")
+    }),
     "pca_reduce" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.canon.Reduce.pca(
@@ -494,6 +521,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, sum(c) AS sum_cents, sum(c * c) AS sumsq_cents
         | FROM (SELECT event_type, cast(floor(value * 100 + 0.5) as bigint) AS c FROM events) t
         | GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        | sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) AS total_cents
+        | FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        | ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "q20_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

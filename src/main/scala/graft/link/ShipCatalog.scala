@@ -32,6 +32,18 @@ object ShipCatalog {
       inspection_id = GraftHash.detid(imo + date))
   }
 
+  /** A29 (inspection_video_input.py:66-70): deterministic name
+    * anonymization — seeded pick from a fixed substitution list
+    * (seeded, so re-runs and resume produce identical graphs).
+    */
+  private val pseudonyms = Vector("Skarv", "Havörn", "Terna", "Lunde", "Alke",
+    "Teist", "Krykkje", "Mase", "Stormfugl", "Lomvi")
+
+  def anonymizeName(name: String): String = {
+    val h = java.lang.Long.remainderUnsigned(Rng.hashString("anon:" + name), pseudonyms.size.toLong)
+    s"${pseudonyms(h.toInt)}-${GraftHash.detid(name) % 1000}"
+  }
+
   /** Distinct-repo scan → dimension. Tiny (|repos| rows): always the
     * broadcast side of downstream joins.
     */

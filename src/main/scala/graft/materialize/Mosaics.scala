@@ -41,6 +41,19 @@ object Mosaics {
 
   val unionCoverage = udaf(new UnionCoverage)
 
+  /** A11 (LIACi_segmenter.getPercentage, segmenter.py:152-172):
+    * |A∩B| / |A| as a ratio of conditional aggregates over boolean
+    * membership columns.
+    */
+  def intersectionPercentage(df: org.apache.spark.sql.DataFrame,
+                             aCol: String, bCol: String): Double = {
+    val row = df.agg(
+      sum(when(col(aCol) && col(bCol), 1).otherwise(0)).as("inter"),
+      sum(when(col(aCol), 1).otherwise(0)).as("a")).collect()(0)
+    val a = row.getLong(1)
+    if (a == 0) 0.0 else row.getLong(0).toDouble / a
+  }
+
   /** Assign session (mosaic) ids per inspection: break on telemetry
     * discontinuity, id = running count of breaks.
     */

@@ -27,16 +27,24 @@ object KgPipeline {
       nodes: DataFrame
   )
 
-  /** Phase 1 (`analyze`): extract → link → materialize. */
+  /** Phase 1 (`analyze`): extract → link → materialize.
+    * `frameStep` is the reference's ML sampling stride (every 30th frame
+    * scored/stored, pipeline/pipeline.py:85) — a cheap early filter the
+    * scan can prune on, 1 = keep all.
+    */
   def run(corpus: Dataset[CorpusRow],
-          dict: Seq[(String, String)] = CompiledDict.selfNamed)(
+          dict: Seq[(String, String)] = CompiledDict.selfNamed,
+          frameStep: Int = 1)(
       implicit spark: SparkSession): Result = {
     val labels = dict.map(_._1)
     val ships = ShipCatalog.dim(corpus)
     val features = MentionExtractor.extract(corpus, dict)
     // frames feeds ≥4 downstream branches (HAS_FRAME, DEPICTS, nodes,
     // phase 2) — persist so the extract scan runs once, not per branch
-    val frames = MentionExtractor.frames(features, labels, ships)
+    val framesAll = MentionExtractor.frames(features, labels, ships)
+    val frames = (if (frameStep > 1)
+      framesAll.where(pmod(col("framenumber"), lit(frameStep)) === 0)
+    else framesAll)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val triples = TripleBuilder.hasOntology(ships)

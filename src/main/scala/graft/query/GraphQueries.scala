@@ -66,6 +66,18 @@ object GraphQueries {
   def baseScan(frames: DataFrame, inspectionIds: Seq[Long], pred: Column): DataFrame =
     frames.where(col("inspection_id").isin(inspectionIds: _*)).where(pred)
 
+  /** B6 (:56-58): 1-hop neighborhood expansion — frames reachable from
+    * the set over any predicate, either direction, unioned with the set.
+    */
+  def neighborhood(triples: DataFrame, frameIds: DataFrame): DataFrame = {
+    val ids = frameIds.select(col("frame_id"))
+    val out = triples.join(ids, triples("subj") === ids("frame_id"), "left_semi")
+      .select(col("obj").as("frame_id"))
+    val in = triples.join(ids, triples("obj") === ids("frame_id"), "left_semi")
+      .select(col("subj").as("frame_id"))
+    ids.unionByName(out).unionByName(in).distinct()
+  }
+
   /** B7 (:74-86): ORDER BY frame_id LIMIT 300 — top-k. */
   def graphFrames(base: DataFrame, k: Int = 300): DataFrame =
     base.orderBy("frame_id").limit(k)

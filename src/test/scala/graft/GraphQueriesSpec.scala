@@ -85,6 +85,23 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(math.abs(maxU - kfU) < 1e-12)
   }
 
+  test("B6 neighborhood expansion includes the seed set and 1-hop frames") {
+    import spark.implicits._
+    val seed = frames.limit(5).select("frame_id")
+    val nbh = GraphQueries.neighborhood(triples, seed)
+    val seedIds = seed.as[String].collect().toSet
+    val nbhIds = nbh.as[String].collect().toSet
+    assert(seedIds subsetOf nbhIds)
+    assert(nbhIds.size > seedIds.size)
+  }
+
+  test("A5 frame stride keeps every Nth frame only") {
+    val strided = graft.pipeline.KgPipeline.run(
+      graft.corpus.CorpusGen.corpus(spark, cfg.copy(rows = 300)), frameStep = 10)
+    val fns = strided.frames.select("framenumber").collect().map(_.getLong(0))
+    assert(fns.nonEmpty && fns.forall(_ % 10 == 0))
+  }
+
   test("B16 labels lists all node types") {
     val ls = GraphQueries.labels(result.nodes).collect().map(_.getString(0)).toSet
     assert(Set("Ship", "Inspection", "Classification", "Frame") subsetOf ls)

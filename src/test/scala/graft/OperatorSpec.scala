@@ -104,6 +104,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(kept.map(_.prob).toSet === Set(0.9, 0.7, 0.75))
   }
 
+  // ---- A11 intersection percentage / A29 anonymize ----
+
+  test("intersection percentage = |A∩B|/|A|") {
+    val df = Seq((true, true), (true, false), (true, true), (false, true))
+      .toDF("a", "b")
+    assert(math.abs(graft.materialize.Mosaics.intersectionPercentage(df, "a", "b")
+      - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("anonymizeName is deterministic and differs from the input") {
+    val n1 = graft.link.ShipCatalog.anonymizeName("vessel_00001")
+    assert(n1 === graft.link.ShipCatalog.anonymizeName("vessel_00001"))
+    assert(n1 !== "vessel_00001")
+  }
+
   // ---- A23 PCA ----
 
   test("PCA projects to k dims and preserves the dominant direction ordering") {
