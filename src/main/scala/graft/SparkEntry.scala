@@ -439,6 +439,11 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
       s.sql("SELECT user_id, count(*) AS n_sessions FROM graft_sessions_q GROUP BY 1")
     }),
+    "curation_pipeline" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.ops.CurationPipeline.run(t(s, dir, "documents"),
+        graft.ops.CurationPipeline.Config(minQuality = 0.1, tokenBudget = 20000L))
+    }),
     "pca_reduce" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.canon.Reduce.pca(

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation over a `documents` table — the
+  * composite job a 100 TB corpus pipeline runs nightly:
+  *
+  *   exact dedup → near-dup drop (MinHash-LSH) → quality gate →
+  *   language keep-list → deterministic token-budget sample.
+  *
+  * Every stage is a narrow transformation or a bounded-candidate join;
+  * nothing is quadratic in the corpus. The sample is deterministic
+  * (hash-ordered), so reruns and resumes pick identical rows.
+  */
+object CurationPipeline {
+
+  final case class Config(
+      minQuality: Double = 0.2,
+      minTokens: Int = 5, // length floor — degenerate docs fool ratio heuristics
+      keepLangs: Seq[String] = Nil, // empty = all
+      nearDupJaccard: Double = 0.85,
+      tokenBudget: Long = Long.MaxValue
+  )
+
+  def run(docs: DataFrame, cfg: Config = Config())(
+      implicit spark: SparkSession): DataFrame = {
+    // 1. exact dedup: keep min doc_id per content hash
+    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    val exact = docs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+
+    // 2. near-dup drop: of each LSH-verified pair keep the smaller id
+    val losers = Dedup.minhashPairs(exact, threshold = cfg.nearDupJaccard)
+      .select(col("b").as("doc_id")).distinct()
+    val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
+
+    // 3. quality + language gates (pure column predicates — pushed down)
+    val gated = nearDeduped
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .where(TextAnalysis.tokenCount(col("text")) >= cfg.minTokens)
+      .where(col("quality") >= cfg.minQuality)
+      .where(if (cfg.keepLangs.isEmpty) lit(true)
+             else col("lang").isin(cfg.keepLangs: _*))
+
+    // 4. token budget: deterministic hash-threshold sample. A global
+    // running-sum window would be a single-partition sort; instead keep
+    // rows whose content hash falls under the budget fraction — fully
+    // parallel, rerun-stable, budget hit in expectation (±sampling error).
+    val tokens = TextAnalysis.tokenCount(col("text"))
+    val withTok = gated.withColumn("tokens", tokens)
+    if (cfg.tokenBudget == Long.MaxValue) withTok
+    else {
+      val total = withTok.agg(sum("tokens")).collect()(0).getLong(0)
+      if (total <= cfg.tokenBudget) withTok
+      else {
+        val frac = cfg.tokenBudget.toDouble / total
+        val m = 1000000L
+        withTok.where(pmod(xxhash64(col("text")), lit(m)) < (frac * m).toLong)
+      }
+    }
+  }
+}
