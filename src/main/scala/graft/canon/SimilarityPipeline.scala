@@ -52,9 +52,21 @@ object SimilarityPipeline {
       .select("id", "group", "vec")
   }
 
+  /** Packed numeric frame id for the similarity shuffles:
+    * inspection_id·2²⁰ + framenumber. Strings ("123456.789") double the
+    * candidate-stream shuffle bytes; the long unpacks back to the public
+    * frame id with pure arithmetic — no mapping join. Valid while
+    * framenumber < 2²⁰ (detid inspection ids are < 10⁶ ≪ 2⁴³).
+    */
+  private val FnoBits = 20
+  def packedId: org.apache.spark.sql.Column =
+    (col("inspection_id") * (1L << FnoBits)) + col("framenumber")
+  def frameIdOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(shiftrightunsigned(c, FnoBits), lit("."), c.bitwiseAND((1L << FnoBits) - 1))
+
   def telemetryFeatures(frames: DataFrame): DataFrame =
     frames.select(
-      col("frame_id").as("id"),
+      packedId.as("id"),
       col("inspection_id").as("group"),
       array(
         sanitize(col("Depth")),
@@ -69,7 +81,7 @@ object SimilarityPipeline {
       Seq(col(s"${l}_classification") * 10.0, col(s"${l}_segmentation") * 100.0)) :+
       col("uciqe")
     frames.select(
-      col("frame_id").as("id"),
+      packedId.as("id"),
       col("inspection_id").as("group"),
       array(channels.map(sanitize): _*).as("vec"))
   }
@@ -80,13 +92,15 @@ object SimilarityPipeline {
       if (exact) KnnJoin.exactTopK(feat, K)
       else KnnJoin.approxTopK(standardize(feat), K)
     val tele = knn(telemetryFeatures(frames)).select(
-      col("src").as("subj"), lit("SIMILAR_TO").as("pred"), col("dst").as("obj"),
+      frameIdOf(col("src")).as("subj"), lit("SIMILAR_TO").as("pred"),
+      frameIdOf(col("dst")).as("obj"),
       lit(null).cast("double").as("classification"),
       lit(null).cast("double").as("segmentation"),
       col("distance"),
       lit(null).cast("array<double>").as("homography"))
     val vis = knn(contentFeatures(frames, labels)).select(
-      col("src").as("subj"), lit("VISUALLY_SIMILAR_TO").as("pred"), col("dst").as("obj"),
+      frameIdOf(col("src")).as("subj"), lit("VISUALLY_SIMILAR_TO").as("pred"),
+      frameIdOf(col("dst")).as("obj"),
       lit(null).cast("double").as("classification"),
       lit(null).cast("double").as("segmentation"),
       col("distance"),
@@ -115,7 +129,7 @@ object SimilarityPipeline {
       .withColumn("cluster_id",
         concat(lit("c"), col("group"), lit("."), col("cluster")))
     val triples = member.select(TripleBuilder.tripleCols(
-      col("id"), "IN_CLUSTER", col("cluster_id")): _*)
+      frameIdOf(col("id")), "IN_CLUSTER", col("cluster_id")): _*)
     val nodes = member.groupBy("cluster_id", "cluster").agg(count("*").as("n"))
       .select(col("cluster_id").as("id"), lit("Cluster").as("label"),
         map(lit("number"), col("cluster").cast("string")).as("props"))
