@@ -339,6 +339,13 @@ object SparkEntry {
         .collect()(0).getSeq[Double](0).toArray
       SimilaritySearch.lshTopK(emb.where(col("vec_id") =!= 0), q, 20)
     }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      SimilaritySearch.ivfTopK(emb.where(col("vec_id") =!= 0), q, 20)
+    }),
     "knn_graph" -> ((s, dir) =>
       SimilaritySearch.neighborGraph(t(s, dir, "embeddings"), k = 5, exact = true)),
     "minhash_pairs" -> ((s, dir) => {

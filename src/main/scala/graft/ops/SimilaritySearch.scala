@@ -47,6 +47,45 @@ object SimilaritySearch {
       .select(col("dst").cast("long").as("vec_id"), col("distance"))
   }
 
+  /** IVF-flat ANN: C deterministic centroids (the C vectors with the
+    * smallest content hash — a seeded sample of the data), every vector
+    * assigned to its nearest centroid (broadcast argmin, map-only), a
+    * query probes the nProbe nearest centroid buckets and re-ranks
+    * exactly. The inverted-list shape that scales: candidate set ≈
+    * nProbe/C of the corpus instead of all of it.
+    */
+  def ivfTopK(embeddings: DataFrame, query: Array[Double], k: Int,
+              centroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val v = expr("transform(embedding, x -> cast(x as double))")
+    // deterministic centroid sample
+    val cents = embeddings
+      .select(col("vec_id"), v.as("vec"), xxhash64(col("vec_id")).as("h"))
+      .orderBy("h").limit(centroids)
+      .select(col("vec"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+    def nearestCentroid(vecCol: Column): Column =
+      cents.zipWithIndex.map { case (c, i) =>
+        struct(graft.core.VectorExprs.sq_dist(vecCol, lit(c)).as("d"), lit(i).as("i"))
+      }.reduce((a, b) => when(a("d") <= b("d"), a).otherwise(b))("i")
+
+    val assigned = embeddings.select(col("vec_id"), v.as("vec"))
+      .withColumn("bucket", nearestCentroid(col("vec")))
+
+    // buckets the query probes: nProbe nearest centroids (driver-side,
+    // centroids are a dimension)
+    val qDist = cents.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d, i)
+    }.sortBy(_._1).take(nProbe).map(_._2)
+
+    assigned.where(col("bucket").isin(qDist: _*))
+      .select(col("vec_id"), round(cosine(col("vec"), lit(query)), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbor edges (per-label groups): the batch ANN
     * used for embedding-space graph building.
     */
