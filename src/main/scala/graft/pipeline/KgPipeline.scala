@@ -114,6 +114,19 @@ object KgPipeline {
   def withInvariant(corpus: DataFrame): DataFrame =
     corpus.withColumn("content_sha256", GraftFunctions.sha256_hex(col("content")))
 
+  /** Enforce the invariant against an expected-digest column: fails the
+    * job (with a row sample) if any row's recomputed sha256 differs —
+    * the guard a resume/backfill runs before trusting a checkpoint.
+    */
+  def assertInvariant(corpus: DataFrame, expectedCol: String = "expected_sha256"): Unit = {
+    val bad = corpus
+      .where(!GraftFunctions.sha256_invariant(col("content"), col(expectedCol)))
+      .select(col(expectedCol))
+      .limit(5).collect()
+    require(bad.isEmpty,
+      s"sha256 content invariant violated for ${bad.length}+ rows, e.g. ${bad.take(2).mkString(",")}")
+  }
+
   /** Materialize to disk: triples partitioned by predicate (the
     * Iceberg-layout realization of SURVEY §1.3 — partition by `pred`,
     * deterministic sort within partitions for byte-stable resume).

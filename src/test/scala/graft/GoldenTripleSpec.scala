@@ -88,6 +88,18 @@ class GoldenTripleSpec extends AnyFunSuite {
     assert(got === goldenTriples(skewCfg))
   }
 
+  test("assertInvariant passes on clean digests and fails on tampered content") {
+    import org.apache.spark.sql.functions._
+    val corpus = CorpusGen.corpus(spark, cfg.copy(rows = 50)).toDF()
+    val withExpected = KgPipeline.withInvariant(corpus)
+      .withColumnRenamed("content_sha256", "expected_sha256")
+    KgPipeline.assertInvariant(withExpected) // must not throw
+    val tampered = withExpected.withColumn("content", concat(col("content"), lit("x")))
+    intercept[IllegalArgumentException] {
+      KgPipeline.assertInvariant(tampered)
+    }
+  }
+
   test("per-row sha256 invariant holds on the corpus") {
     val corpus = CorpusGen.corpus(spark, cfg.copy(rows = 500)).toDF()
     val withSha = KgPipeline.withInvariant(corpus)
