@@ -318,6 +318,77 @@ object SparkEntry {
         .select(col("vec_id"),
           round(SimilaritySearch.cosine(v, lit(q)), 4).as("cosine"))
         .orderBy("vec_id")
+    }),
+
+    // --- B3/B13 heading-bin arithmetic with the reference's +180 offset ---
+
+    "q18_heading_bins" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(graft.query.GraphQueries.headingBin(col("value"), lit(77.0))
+          .as("heading_bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("heading_bin")),
+
+    // --- BPE-ish token estimate (codegen'd HOF aggregate) ---
+
+    "q19_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(sum(TextAnalysis.bpeTokenEstimate).as("bpe_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
+    // --- exact n-gram Jaccard over a SQL-expressible candidate set ---
+
+    "q23_jaccard_adj" -> ((s, dir) => {
+      val grams = t(s, dir, "documents").select(col("doc_id"),
+        array_distinct(expr(
+          "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+            "i -> array_join(slice(split(text, ' '), i, 3), ' '))")).as("grams"))
+      val ga = grams.select(col("doc_id").as("a"), col("grams").as("ga"))
+      val gb = grams.select((col("doc_id") - 1).as("a"), col("doc_id").as("b"),
+        col("grams").as("gb"))
+      ga.join(gb, Seq("a"))
+        .select(col("a"), col("b"),
+          (size(array_intersect(col("ga"), col("gb"))) /
+            size(array_union(col("ga"), col("gb")))).as("jaccard"))
+        .orderBy("a")
+    }),
+
+    // --- connected components against a window-SQL oracle ---
+
+    "cc_sizes" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id").as("src"), col("lang").as("src_lang"))
+      val b = d.select(col("doc_id").as("dst"), col("lang").as("dst_lang"))
+      // chain edges between adjacent doc ids of the same language: the
+      // resulting components are language runs — oracle-expressible
+      val edges = a.join(b,
+          col("src") + 1 === col("dst") && col("src_lang") === col("dst_lang"))
+        .select("src", "dst")
+      graft.canon.ConnectedComponents.run(edges)
+        .select(col("id"), col("component")).orderBy("id")
+    }),
+
+    // --- language-ID heuristic vs a CASE-expression oracle ---
+
+    "lang_id" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextAnalysis.languageId(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    // --- A4 interpolate/resample vs a DuckDB window-SQL oracle ---
+
+    "telemetry_interp" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // resample event values per user onto a 64-point uniform grid
+      val samples = t(s, dir, "events").select(
+        col("user_id").as("inspection_id"),
+        unix_micros(col("ts").cast("timestamp")).cast("double").as("ts"),
+        col("event_type").as("channel"), col("value"))
+      graft.extract.TelemetryInterpolation.interpolate(samples, 64)
+        .orderBy("inspection_id", "channel", "frame_index")
     })
   ) ++ rowsOnlyQueries
 
@@ -367,13 +438,13 @@ object SparkEntry {
       // candidate pairs with their cosine (the op's 0.95 default is for
       // real near-dup corpora)
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = -1.0)),
-    "lang_id" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
-      TextAnalysis.languageId(t(s, dir, "documents"))
-    }),
     "fingerprints" -> ((s, dir) => {
       implicit val sp: SparkSession = s
+      // exploded to scalar (doc_id, fingerprint) rows — the driver's
+      // pandas comparer cannot sort array columns
       TextAnalysis.fingerprints(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(col("fingerprints")).as("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
     }),
     "multimodal_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -400,15 +471,6 @@ object SparkEntry {
         mentions.select(col("mention_id"), lit("propeler arangement").as("text")),
         entities)
     }),
-    "telemetry_interp" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
-      // resample event values per user onto a 64-point uniform grid
-      val samples = t(s, dir, "events").select(
-        col("user_id").as("inspection_id"),
-        unix_micros(col("ts").cast("timestamp")).cast("double").as("ts"),
-        col("event_type").as("channel"), col("value"))
-      graft.extract.TelemetryInterpolation.interpolate(samples, 64)
-    }),
     "kg_similar_edges" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.canon.SimilarityPipeline.similarTriples(
@@ -423,7 +485,11 @@ object SparkEntry {
     }),
     "kg_mosaics" -> ((s, dir) => {
       implicit val sp: SparkSession = s
+      // homography stringified: array columns crash the driver comparer
       graft.materialize.Mosaics.build(docFrames(s, dir), docLabels)._1
+        .select(col("subj"), col("pred"), col("obj"),
+          array_join(transform(col("homography"), _.cast("string")), ",")
+            .as("homography"))
     }),
     "cc_components" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -453,22 +519,25 @@ object SparkEntry {
     }),
     "pca_reduce" -> ((s, dir) => {
       implicit val sp: SparkSession = s
+      // (id, dim, value) rows — scalar projection for the driver comparer
       graft.canon.Reduce.pca(
         t(s, dir, "embeddings").select(col("vec_id").cast("string").as("id"),
           col("label").cast("long").as("group"),
           expr("transform(embedding, x -> cast(x as double))").as("vec")), 8)
+        .select(col("id"), posexplode(col("vec")).as(Seq("dim", "value")))
+        .orderBy("id", "dim")
     })
   )
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n,
-        | sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)) AS revenue_cents
+        | cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)) as bigint) AS revenue_cents
         | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1995-09-01'
         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q02_region_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        | sum(cast(floor(c_acctbal * 100 + 0.5) as bigint)) AS acct_cents
+        | cast(sum(cast(floor(c_acctbal * 100 + 0.5) as bigint)) as bigint) AS acct_cents
         | FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -481,13 +550,13 @@ object SparkEntry {
         | FROM orders) t WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
     "q05_cust_orders" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        | coalesce(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)), 0) AS spend_cents
+        | cast(coalesce(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)), 0) as bigint) AS spend_cents
         | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         | GROUP BY 1 ORDER BY 1""".stripMargin,
     "q06_cond_agg" ->
       """SELECT l_returnflag,
-        | sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_hi_disc,
-        | sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS n_hi_tax,
+        | cast(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) as bigint) AS n_hi_disc,
+        | cast(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) as bigint) AS n_hi_tax,
         | count(*) AS n_rows FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q07_value_bins" ->
       """SELECT cast(((floor(value / 30) * 30) % 360 + 360) % 360 as integer) AS bin,
@@ -518,19 +587,20 @@ object SparkEntry {
         |   sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session
         |  FROM b),
         | g AS (SELECT user_id, session, count(*) AS cnt FROM s GROUP BY 1, 2)
-        | SELECT user_id, count(*) AS n_sessions, sum(cnt) AS n_events, max(cnt) AS max_session
+        | SELECT user_id, count(*) AS n_sessions, cast(sum(cnt) as bigint) AS n_events, max(cnt) AS max_session
         | FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_running" ->
       """SELECT user_id, event_id,
-        | sum(cast(floor(value * 100 + 0.5) as bigint))
-        |  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS running_cents
+        | cast(sum(cast(floor(value * 100 + 0.5) as bigint))
+        |  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) as bigint) AS running_cents
         | FROM events WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin,
     "q14_lang_stats" ->
-      """SELECT lang, count(*) AS n, sum(n_chars) AS total_chars,
+      """SELECT lang, count(*) AS n, cast(sum(n_chars) as bigint) AS total_chars,
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars
         | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_exact_moments" ->
-      """SELECT event_type, count(*) AS n, sum(c) AS sum_cents, sum(c * c) AS sumsq_cents
+      """SELECT event_type, count(*) AS n, cast(sum(c) as bigint) AS sum_cents,
+        | cast(sum(c * c) as bigint) AS sumsq_cents
         | FROM (SELECT event_type, cast(floor(value * 100 + 0.5) as bigint) AS c FROM events) t
         | GROUP BY 1 ORDER BY 1""".stripMargin,
     "q16_distinct_count" ->
@@ -538,14 +608,14 @@ object SparkEntry {
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q17_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-        | sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) AS total_cents
+        | cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as bigint) AS total_cents
         | FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         | ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "q20_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q21_token_stats" ->
-      s"""SELECT lang, sum(tok) AS total_tokens, min(tok) AS min_tokens, max(tok) AS max_tokens
+      s"""SELECT lang, cast(sum(tok) as bigint) AS total_tokens, min(tok) AS min_tokens, max(tok) AS max_tokens
          | FROM (SELECT lang, $tokSql AS tok FROM documents) t
          | GROUP BY 1 ORDER BY 1""".stripMargin,
     "q22_doc_quality" -> qualityOracleSql,
@@ -560,8 +630,75 @@ object SparkEntry {
       """SELECT e.vec_id,
         | round(list_cosine_similarity(cast(e.embedding as double[]),
         |   (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
-        | FROM embeddings e WHERE e.vec_id <> 0 ORDER BY e.vec_id""".stripMargin
+        | FROM embeddings e WHERE e.vec_id <> 0 ORDER BY e.vec_id""".stripMargin,
+    "q18_heading_bins" ->
+      """SELECT cast(((round((value - 77.0 + 180) / 30) * 30) % 360 + 360) % 360 as int) AS heading_bin,
+        | count(*) AS n FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_bpe_tokens" ->
+      """SELECT lang,
+        | cast(sum(list_sum(list_transform(string_split(text, ' '),
+        |   w -> greatest(cast(ceil(length(w) / 4.0) as bigint), 1)))) as bigint) AS bpe_tokens,
+        | count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_jaccard_adj" ->
+      """WITH g AS (SELECT doc_id,
+        |   list_distinct(list_transform(
+        |     generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |     i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS grams
+        |  FROM documents)
+        | SELECT a.doc_id AS a, b.doc_id AS b,
+        |  len(list_intersect(a.grams, b.grams)) / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        | FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY a""".stripMargin,
+    "cc_sizes" ->
+      """WITH o AS (SELECT doc_id, lang,
+        |   CASE WHEN lag(lang) OVER w = lang AND lag(doc_id) OVER w = doc_id - 1
+        |        THEN 0 ELSE 1 END AS brk
+        |  FROM documents WINDOW w AS (ORDER BY doc_id)),
+        | r AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS grp FROM o),
+        | c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY grp) AS component,
+        |       count(*) OVER (PARTITION BY grp) AS n FROM r)
+        | SELECT doc_id AS id, component FROM c WHERE n >= 2 ORDER BY id""".stripMargin,
+    "lang_id" -> langIdOracleSql,
+    "telemetry_interp" ->
+      """WITH raw AS (
+        |  SELECT user_id AS inspection_id, cast(epoch_us(ts) as double) AS ts,
+        |         event_type AS channel, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type, epoch_us(ts) ORDER BY value) AS rn
+        |  FROM events),
+        | d AS (SELECT inspection_id, channel, ts, value AS v FROM raw WHERE rn = 1),
+        | b AS (SELECT inspection_id, channel, min(ts) AS t0, max(ts) AS t1 FROM d GROUP BY 1, 2),
+        | g AS (SELECT inspection_id, channel, cast(i as int) AS frame_index,
+        |              t0 + i * (t1 - t0) / 63 AS gts
+        |       FROM b CROSS JOIN generate_series(0, 63) AS t(i)),
+        | seg AS (SELECT inspection_id, channel, ts AS pt, v AS pv,
+        |                lead(ts) OVER w AS nt, lead(v) OVER w AS nv
+        |         FROM d WINDOW w AS (PARTITION BY inspection_id, channel ORDER BY ts))
+        | SELECT g.inspection_id, g.frame_index, g.channel,
+        |   CASE WHEN seg.nv IS NULL THEN seg.pv
+        |        WHEN seg.nt = seg.pt THEN seg.pv
+        |        ELSE seg.pv + (seg.nv - seg.pv) * (g.gts - seg.pt) / (seg.nt - seg.pt) END AS value
+        | FROM g JOIN seg ON g.inspection_id = seg.inspection_id AND g.channel = seg.channel
+        |   AND g.gts >= seg.pt AND (g.gts < seg.nt OR seg.nt IS NULL)
+        | ORDER BY g.inspection_id, g.channel, g.frame_index""".stripMargin
   )
+
+  /** lang_id oracle: per-language n-gram hit counts via `contains`,
+    * argmax in the same fixed order as TextAnalysis.langProfiles
+    * (ties → earlier language, zero hits → 'und').
+    */
+  private def langIdOracleSql: String = {
+    val scores = TextAnalysis.langProfiles.map { case (l, ps) =>
+      l -> ps.map(p => s"CASE WHEN contains(text, '$p') THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+    }
+    val scoreCols = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+    val m = scores.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val pick = scores.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id, CASE WHEN m = 0 THEN 'und' $pick END AS lang_pred,
+       | cast(m as int) AS lang_votes
+       | FROM (SELECT doc_id, $m AS m, ${scores.map(s => "s_" + s._1).mkString(", ")}
+       |       FROM (SELECT doc_id, $scoreCols FROM documents) s0) s1
+       | ORDER BY doc_id""".stripMargin
+  }
 
   /** q22 oracle: mirrors TextAnalysis.qualityScore arithmetic exactly. */
   private def qualityOracleSql: String = {
@@ -602,7 +739,7 @@ object SparkEntry {
   private def kgShipTableOracleSql: String = {
     val dictTerms = docDict.toMap
     val cols = tableDefectLabels.map { l =>
-      s"sum(CASE WHEN ${scoreSql(dictTerms(l))} >= 1 THEN 1 ELSE 0 END) AS ${l}_docs"
+      s"cast(sum(CASE WHEN ${scoreSql(dictTerms(l))} >= 1 THEN 1 ELSE 0 END) as bigint) AS ${l}_docs"
     }
     s"SELECT source, ${cols.mkString(", ")}, count(*) AS n_docs " +
       "FROM documents GROUP BY 1 ORDER BY 1"

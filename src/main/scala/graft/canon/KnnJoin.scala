@@ -28,18 +28,27 @@ object KnnJoin {
   /** feat: (id string, group long/string, vec array<double>).
     * Returns (src, dst, distance): k nearest neighbors of each id
     * within its group, deterministic ties by dst id.
+    *
+    * `selfRank = true` reproduces the reference's KDTree semantics
+    * (similarity_pipeline.py:176-192): the query point is IN the tree,
+    * so `query(v, k)` spends one of the k slots on the self-match, which
+    * is then skipped — at most k−1 edges per node. With `false` (the
+    * generic ANN-graph default) the self pair is excluded before ranking
+    * and each node gets a full k neighbors.
     */
-  def exactTopK(feat: DataFrame, k: Int): DataFrame = {
+  def exactTopK(feat: DataFrame, k: Int, selfRank: Boolean = false): DataFrame = {
     // self-join: materialize once or the whole upstream lineage runs twice
     val f = feat.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = f.select(col("id").as("src"), col("group"), col("vec").as("va"))
     val b = f.select(col("id").as("dst"), col("group"), col("vec").as("vb"))
     val w = Window.partitionBy("src").orderBy(col("distance"), col("dst"))
-    a.join(b, Seq("group"))
-      .where(col("src") =!= col("dst"))
+    val pairs = a.join(b, Seq("group"))
+    val candidates = if (selfRank) pairs else pairs.where(col("src") =!= col("dst"))
+    candidates
       .withColumn("distance", dist(col("va"), col("vb")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
+      .where(col("src") =!= col("dst"))
       .select("src", "dst", "distance")
   }
 
@@ -49,7 +58,7 @@ object KnnJoin {
     * dimension index — no fitted model state to persist.
     */
   def approxTopK(feat: DataFrame, k: Int, tables: Int = 4, bits: Int = 8,
-                 seed: Long = 42L): DataFrame = {
+                 seed: Long = 42L, selfRank: Boolean = false): DataFrame = {
     val dims = 64 // upper bound on vec length used for plane generation
     // signature per table: sum over bits of sign(dot(vec, plane)) << bit
     def planeCoef(t: Int, bit: Int, d: Int): Double = {
@@ -78,12 +87,14 @@ object KnnJoin {
     val a = tagged.select(col("id").as("src"), col("group"), col("t"), col("sig"), col("vec").as("va"))
     val b = tagged.select(col("id").as("dst"), col("group"), col("t"), col("sig"), col("vec").as("vb"))
     val w = Window.partitionBy("src").orderBy(col("distance"), col("dst"))
-    a.join(b, Seq("group", "t", "sig"))
-      .where(col("src") =!= col("dst"))
+    val pairs = a.join(b, Seq("group", "t", "sig"))
+    val candidates = if (selfRank) pairs else pairs.where(col("src") =!= col("dst"))
+    candidates
       .select(col("src"), col("dst"), dist(col("va"), col("vb")).as("distance"))
       .dropDuplicates("src", "dst") // same pair can collide in several tables
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
+      .where(col("src") =!= col("dst"))
       .select("src", "dst", "distance")
   }
 }

@@ -59,8 +59,17 @@ object SimilarityPipeline {
     * framenumber < 2²⁰ (detid inspection ids are < 10⁶ ≪ 2⁴³).
     */
   private val FnoBits = 20
-  def packedId: org.apache.spark.sql.Column =
-    (col("inspection_id") * (1L << FnoBits)) + col("framenumber")
+  def packedId: org.apache.spark.sql.Column = {
+    // fail LOUDLY on out-of-contract framenumbers (the hash fallback in
+    // MentionExtractor.frameNumberOf can produce values up to 1e9):
+    // a silent wrap would corrupt SIMILAR_TO/IN_CLUSTER subjects
+    val fno = col("framenumber")
+    val guarded = when(fno >= 0 && fno < (1L << FnoBits), fno)
+      .otherwise(raise_error(concat(
+        lit(s"framenumber out of packed-id range [0, 2^$FnoBits): "),
+        fno.cast("string"))).cast("long"))
+    (col("inspection_id") * (1L << FnoBits)) + guarded
+  }
   def frameIdOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(shiftrightunsigned(c, FnoBits), lit("."), c.bitwiseAND((1L << FnoBits) - 1))
 
@@ -88,9 +97,12 @@ object SimilarityPipeline {
 
   def similarTriples(frames: DataFrame, labels: Seq[String],
                      exact: Boolean = true): DataFrame = {
+    // selfRank: the reference KDTree contains the query point, so k=5
+    // yields at most 4 real neighbors (the self slot is skipped,
+    // similarity_pipeline.py:176-192)
     def knn(feat: DataFrame) =
-      if (exact) KnnJoin.exactTopK(feat, K)
-      else KnnJoin.approxTopK(standardize(feat), K)
+      if (exact) KnnJoin.exactTopK(feat, K, selfRank = true)
+      else KnnJoin.approxTopK(standardize(feat), K, selfRank = true)
     val tele = knn(telemetryFeatures(frames)).select(
       frameIdOf(col("src")).as("subj"), lit("SIMILAR_TO").as("pred"),
       frameIdOf(col("dst")).as("obj"),

@@ -142,7 +142,7 @@ object MentionExtractor {
           concat(col("inspection_id"), lit("."), col("framenumber")).as("frame_id"),
           col("repo"), col("path"), col("lang"),
           col("imo"), col("ship_id"), col("ship_name"),
-          col("inspection_id"), col("inspection_date"),
+          col("inspection_id"), col("inspection_date"), col("ship_heading"),
           col("framenumber"), col("framenumber").as("frame_index"),
           col("contentLen").as("n_chars"), col("tokenCount").as("n_tokens"),
           uciqe.as("uciqe"),

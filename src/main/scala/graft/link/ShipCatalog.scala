@@ -20,16 +20,24 @@ object ShipCatalog {
       imo: String,
       inspection_date: String,
       ship_id: Long,
-      inspection_id: Long
+      inspection_id: Long,
+      ship_heading: Option[Double]
   )
 
   def shipFor(repo: String): ShipRow = {
     val imoNum = 1000000L + java.lang.Long.remainderUnsigned(Rng.hashString("imo:" + repo), 9000000L)
     val imo = s"IMO$imoNum"
     val date = "2023-01-15"
+    // per-inspection ship heading, sometimes absent — the reference reads
+    // `coalesce(insp.ship_heading, 0)` (data_manager.py:36,205), so B3/B13
+    // must be parameterized per inspection, nulls included
+    val heading =
+      if (java.lang.Long.remainderUnsigned(Rng.hashString("shiphdg:" + repo), 4L) == 0L) None
+      else Some(java.lang.Long.remainderUnsigned(Rng.hashString("hdgval:" + repo), 3600L) / 10.0)
     ShipRow(repo, repo, imo, date,
       ship_id = GraftHash.detid(repo),
-      inspection_id = GraftHash.detid(imo + date))
+      inspection_id = GraftHash.detid(imo + date),
+      ship_heading = heading)
   }
 
   /** A29 (inspection_video_input.py:66-70): deterministic name

@@ -27,6 +27,15 @@ object Mosaics {
   val depthBreak = 2.0
   val minFrames = 3 // gate analog (reference: 180 frames at 30 fps)
 
+  /** Session-keep threshold on the size_increase analog. The reference
+    * discards a session only when BOTH arms fail: `frames < 180 AND
+    * size_increase < 1.5` (pipeline/pipeline.py:153-156) — i.e. keep if
+    * long OR if the mosaic canvas grew. Our canvas-growth stand-in is
+    * the depth spread the camera covered (§7.5 deviations ledger):
+    * size_increase = 1 + (max(Depth) − min(Depth)).
+    */
+  val sizeIncreaseKeep = 1.5
+
   /** Union-coverage UDAF: 1 − Π(1 − cov). Commutative+associative via
     * the product of complements — safe for partial aggregation.
     */
@@ -87,11 +96,15 @@ object Mosaics {
       count("*").as("n_frames"),
       min("frame_id").as("start_frame"),
       max("frame_id").as("end_frame"),
-      min("framenumber").as("start_no")
+      min("framenumber").as("start_no"),
+      (lit(1.0) + max("Depth") - min("Depth")).as("size_increase")
     ) ++ covAggs
     val mosaics = sessioned.groupBy("inspection_id", "session")
       .agg(aggs.head, aggs.tail: _*)
-      .where(col("n_frames") >= minFrames) // A13 quality gate
+      // A13 gate, both arms (pipeline.py:153-156): discard only sessions
+      // that are short AND didn't grow
+      .where(col("n_frames") >= minFrames ||
+        col("size_increase") >= sizeIncreaseKeep)
       .withColumn("mosaic_id", concat(lit("m"), col("start_frame")))
 
     val mosaicKeys = mosaics.select("inspection_id", "session", "mosaic_id")
@@ -111,12 +124,27 @@ object Mosaics {
 
     val pctEntries = labels.flatMap(l =>
       Seq(lit(s"${l}_percentage"), round(col(s"${l}_percentage"), 6).cast("string")))
+    // {label}_coco: the reference stores a COCO-RLE mask per label
+    // (image_node.py:6-10); with no raster in this pipeline the prop is a
+    // deterministic stand-in carrying the union coverage
+    val cocoEntries = labels.flatMap(l =>
+      Seq(lit(s"${l}_coco"),
+        concat(lit("coco:"), round(col(s"${l}_percentage"), 6).cast("string"))))
+    // canvas-dimension analogs (image_node.py:6-10): the stitched canvas
+    // widens per appended frame and deepens with the depth spread
+    val xDim = (lit(1920L) + lit(16L) * (col("n_frames") - 1)).cast("long")
+    val yDim = (lit(1080L) +
+      round((col("size_increase") - 1.0) * 100).cast("long")).cast("long")
     val nodes = mosaics.select(
       col("mosaic_id").as("id"), lit("Mosaic").as("label"),
       map(
         (Seq(lit("start_frame"), col("start_frame"),
           lit("end_frame"), col("end_frame"),
-          lit("n_frames"), col("n_frames").cast("string")) ++ pctEntries): _*
+          lit("n_frames"), col("n_frames").cast("string"),
+          lit("x_dim"), xDim.cast("string"),
+          lit("y_dim"), yDim.cast("string"),
+          lit("size_increase"), round(col("size_increase"), 6).cast("string"))
+          ++ pctEntries ++ cocoEntries): _*
       ).as("props"))
     (inMosaic, nodes)
   }

@@ -70,7 +70,8 @@ object TripleBuilder {
       ).as("props"))
     val inspections = shipsDim.select(
       inspNodeId(col("inspection_id")).as("id"), lit("Inspection").as("label"),
-      map(lit("imo"), col("imo"), lit("date"), col("inspection_date")).as("props"))
+      map(lit("imo"), col("imo"), lit("date"), col("inspection_date"),
+        lit("ship_heading"), col("ship_heading").cast("string")).as("props"))
     val classifications = shipsDim.crossJoin(broadcast(ontologyDf(spark))).select(
       classNodeId(col("imo"), col("visCode")).as("id"),
       lit("Classification").as("label"),

@@ -65,14 +65,28 @@ object Dedup {
 
   /** Near-duplicate candidate pairs via banding: rows sharing any
     * (band, band-hash) bucket. Pairs are oriented (a < b) and distinct.
+    *
+    * Hot-bucket cap: a (band, band_hash) bucket of K identical
+    * boilerplate docs would otherwise emit K² pairs — quadratic at
+    * 100 TB. Only the `maxBucket` smallest doc ids of a bucket join as
+    * the left side, so pairs per bucket are ≤ cap·K (linear in K) while
+    * every bucket member still pairs with the bucket's low anchors —
+    * under transitive closure (dedup's consumer) recall of the duplicate
+    * GROUPS is unchanged; only redundant within-group pairs are dropped.
+    * Buckets smaller than the cap are emitted exhaustively (recall
+    * identical — DedupSpec proves it on the fixture corpus).
     */
-  def minhashCandidates(signatures: DataFrame, bands: Int = 16): DataFrame = {
+  def minhashCandidates(signatures: DataFrame, bands: Int = 16,
+                        maxBucket: Int = 64): DataFrame = {
     val banded = signatures.select(
       col("doc_id"),
       posexplode(expr(s"transform(sequence(0, $bands - 1), " +
         s"b -> hash(slice(signature, b * (size(signature) div $bands) + 1, size(signature) div $bands)))"))
         .as(Seq("band", "band_hash")))
-    val a = banded.select(col("doc_id").as("a"), col("band"), col("band_hash"))
+    val w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+    val a = banded.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= maxBucket)
+      .select(col("doc_id").as("a"), col("band"), col("band_hash"))
     val b = banded.select(col("doc_id").as("b"), col("band"), col("band_hash"))
     a.join(b, Seq("band", "band_hash"))
       .where(col("a") < col("b"))
@@ -101,7 +115,7 @@ object Dedup {
   /** 64-bit simhash over whitespace tokens + 16-bit-band candidate pairs
     * with exact Hamming verification.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3)(
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 64)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -127,7 +141,11 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "band_val")))
-    val a = banded.select(col("doc_id").as("a"), col("simhash").as("ha"), col("band"), col("band_val"))
+    // hot-bucket cap: same linearization as minhashCandidates
+    val w = Window.partitionBy("band", "band_val").orderBy("doc_id")
+    val a = banded.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= maxBucket)
+      .select(col("doc_id").as("a"), col("simhash").as("ha"), col("band"), col("band_val"))
     val b = banded.select(col("doc_id").as("b"), col("simhash").as("hb"), col("band"), col("band_val"))
     a.join(b, Seq("band", "band_val"))
       .where(col("a") < col("b"))

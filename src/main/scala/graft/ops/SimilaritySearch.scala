@@ -65,10 +65,22 @@ object SimilaritySearch {
       .select(col("vec"))
       .collect().map(_.getSeq[Double](0).toArray)
 
+    // Argmin over centroids as a LINEAR fold: the centroid table is one
+    // array<array<double>> literal and `aggregate` threads the running
+    // (best distance, index) through a lambda variable — a fixed-size
+    // expression regardless of C. (A naive when(a<=b,a).otherwise(b)
+    // reduce duplicates the accumulated subtree per step: 2^C nodes,
+    // megabyte task binaries, and a 585 s query at sf0.1.)
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
     def nearestCentroid(vecCol: Column): Column =
-      cents.zipWithIndex.map { case (c, i) =>
-        struct(graft.core.VectorExprs.sq_dist(vecCol, lit(c)).as("d"), lit(i).as("i"))
-      }.reduce((a, b) => when(a("d") <= b("d"), a).otherwise(b))("i")
+      aggregate(
+        sequence(lit(0), lit(centroids - 1)),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("i")),
+        (acc, i) => {
+          val d = graft.core.VectorExprs.sq_dist(vecCol, element_at(centsLit, i + 1))
+          when(d < acc("d"), struct(d.as("d"), i.as("i"))).otherwise(acc)
+        }
+      )("i")
 
     val assigned = embeddings.select(col("vec_id"), v.as("vec"))
       .withColumn("bucket", nearestCentroid(col("vec")))

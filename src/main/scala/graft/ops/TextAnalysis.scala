@@ -38,23 +38,28 @@ object TextAnalysis {
     * long-word splits (a word of length L contributes ceil(L/4) subtokens).
     */
   def bpeTokenEstimate: Column =
-    expr("aggregate(split(text, ' '), 0L, (acc, w) -> acc + greatest(ceil(length(w) / 4.0), 1L))")
+    expr("aggregate(split(text, ' '), 0L, " +
+      "(acc, w) -> acc + greatest(cast(ceil(length(w) / 4.0D) as bigint), 1L))")
 
   /** Language-ID by character-n-gram profile voting — per-partition
     * compiled profiles (the heuristic path; real models would ride the
     * same mapPartitions shape).
     */
+  /** Fixed evaluation order — ties go to the earlier language, and the
+    * SQL oracle (SparkEntry.langIdOracleSql) mirrors the same order.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "he ", "ing", " an", "nd "),
+    "de" -> Seq("der", "ein", "sch", " un", "cht"),
+    "es" -> Seq(" de", "que", " la", "ión", "os "),
+    "fr" -> Seq(" le", "les", " de", "ent", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
   def languageId(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val profiles: Map[String, Seq[String]] = Map(
-      "en" -> Seq(" th", "he ", "ing", " an", "nd "),
-      "de" -> Seq("der", "ein", "sch", " un", "cht"),
-      "es" -> Seq(" de", "que", " la", "ión", "os "),
-      "fr" -> Seq(" le", "les", " de", "ent", "que"),
-      "zh" -> Seq("的", "是", "了", "在", "我")
-    )
     docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
-      val compiled = profiles.toSeq.map { case (l, ps) => (l, ps.toArray) }
+      val compiled = langProfiles.map { case (l, ps) => (l, ps.toArray) }
       it.map { case (id, text) =>
         var best = "und"; var bestScore = 0
         compiled.foreach { case (l, ps) =>

@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
 object GraphQueries {
 
   /** B1 (data_manager.py:19-28): quality ∧ (∨ parts > .8) ∧ (∨ defects > .8).
-    * Reference thresholds the *_classification channel at 0.8.
+    * Reference's `i.{label} > 0.8` reads the FUSED integer score property
+    * (∈ {0,1,2}, image_node.py:33-45) — i.e. score ≥ 1 — which the frames
+    * table exposes as the bare-label column, NOT the `_classification`
+    * raw-probability channel.
     */
   def findingsPredicate(quality: Double, parts: Seq[String], defects: Seq[String]): Column = {
     def anyAbove(ls: Seq[String]): Column =
-      ls.map(l => col(s"${l}_classification") > 0.8)
+      ls.map(l => col(l) > 0.8)
         .reduceOption(_ || _).getOrElse(lit(true))
     (col("uciqe") >= quality) && anyAbove(parts) && anyAbove(defects)
   }
@@ -29,20 +32,23 @@ object GraphQueries {
       col("inspection_id")).distinct()
 
   /** 30°-heading bin relative to ship heading (B3/B13 arithmetic:
-    * `(round((H − ship) / 30) * 30 + 360) % 360` — data_manager.py:38).
+    * `(round((i.Heading − ship_heading + 180) / 30) * 30) % 360` —
+    * data_manager.py:36 for B3, :205 for B13; the +180 offset shifts the
+    * bin labels so "dead astern" is 0).
     */
   def headingBin(h: Column, shipHeading: Column): Column =
-    pmod(round((h - shipHeading) / 30) * 30, lit(360)).cast("int")
+    pmod(round((h - shipHeading + 180) / 30) * 30, lit(360)).cast("int")
 
   /** B3 (:35-44): frames of an inspection in one heading sector,
     * ORDER BY uciqe DESC. (Mosaic coalesce is a left join on IN_MOSAIC.)
     */
   def framesAngle(frames: DataFrame, triples: DataFrame, inspectionId: Long,
-                  angle: Int, shipHeading: Double = 0.0): DataFrame = {
+                  angle: Int,
+                  shipHeading: Column = coalesce(col("ship_heading"), lit(0.0))): DataFrame = {
     val inMosaic = triples.where(col("pred") === "IN_MOSAIC")
       .select(col("subj").as("frame_id"), col("obj").as("mosaic_id"))
     frames.where(col("inspection_id") === inspectionId)
-      .where(headingBin(col("Heading"), lit(shipHeading)) === angle)
+      .where(headingBin(col("Heading"), shipHeading) === angle)
       .join(inMosaic, Seq("frame_id"), "left")
       .select(col("frame_id"), col("uciqe"),
         coalesce(col("mosaic_id"), col("frame_id")).as("display_id"))
@@ -152,14 +158,28 @@ object GraphQueries {
       .select(col("frame_id"), col("part_id"), col("anc").as("ship_id"))
   }
 
-  /** B12 (:163-197): histogram value vectors incl. the guarded
-    * marine-growth ratio `CASE WHEN hull < 0.05 THEN 0 … cap at 1`.
+  /** B12 (:163-197): histogram value vectors. The marine-growth ratio is
+    * computed per DISTINCT Mosaic reachable from the frame set
+    * (`m.marine_growth_percentage / m.ship_hull_percentage`, coalesced to
+    * 0, guarded `shp < 0.05 → 0`, capped at 1 — data_manager.py:174-177),
+    * NOT per frame: the Mosaic node props carry the union coverage.
     */
-  def histogramData(frames: DataFrame, triples: DataFrame): Map[String, DataFrame] = {
-    val mg = frames.select(
-      when(col("ship_hull_segmentation") < 0.05, 0.0)
-        .otherwise(least(col("marine_growth_segmentation") / col("ship_hull_segmentation"), lit(1.0)))
-        .as("marine_growth_ratio"))
+  def histogramData(frames: DataFrame, triples: DataFrame,
+                    nodes: DataFrame): Map[String, DataFrame] = {
+    val inMosaic = triples.where(col("pred") === "IN_MOSAIC")
+      .select(col("subj").as("frame_id"), col("obj").as("mosaic_id"))
+    val reachable = inMosaic
+      .join(frames.select("frame_id"), Seq("frame_id"), "left_semi")
+      .select("mosaic_id").distinct()
+    val mg = nodes.where(col("label") === "Mosaic")
+      .join(reachable, nodes("id") === reachable("mosaic_id"), "left_semi")
+      .select(
+        coalesce(col("props")("marine_growth_percentage").cast("double"), lit(0.0)).as("mgp"),
+        coalesce(col("props")("ship_hull_percentage").cast("double"), lit(0.0)).as("shp"))
+      .select(
+        when(col("shp") < 0.05, 0.0)
+          .otherwise(least(col("mgp") / col("shp"), lit(1.0)))
+          .as("marine_growth_ratio"))
     Map(
       "uciqe" -> frames.select("uciqe"),
       "depth" -> frames.select(col("Depth")),
@@ -169,16 +189,20 @@ object GraphQueries {
     )
   }
 
-  /** B13 (:201-221): per (inspection, 30° relative-heading bin) counts. */
-  def headingsHist(frames: DataFrame, shipHeading: Double = 0.0): DataFrame =
+  /** B13 (:201-221): per (inspection, 30° relative-heading bin) counts,
+    * relative to the per-inspection `coalesce(ship_heading, 0)`.
+    */
+  def headingsHist(frames: DataFrame,
+                   shipHeading: Column = coalesce(col("ship_heading"), lit(0.0))): DataFrame =
     frames
       .groupBy(col("inspection_id"),
-        headingBin(col("Heading"), lit(shipHeading)).as("heading_bin"))
+        headingBin(col("Heading"), shipHeading).as("heading_bin"))
       .agg(count(lit(1)).as("n"))
       .orderBy("inspection_id", "heading_bin")
 
   /** B14 (:223-248): per-ship (q6) and per-part (q7) conditional sums —
-    * sum(CASE WHEN label_classification > 0.8 THEN 1 END) per defect label.
+    * `sum(CASE WHEN i.{label} > 0.8 THEN 1 END)` per defect label, on the
+    * fused score column (see [[findingsPredicate]]).
     */
   val tableDefects = Seq("marine_growth", "corrosion", "paint_peel", "defect")
 
@@ -187,9 +211,9 @@ object GraphQueries {
   }
 
   def shipTable(frames: DataFrame): DataFrame =
-    frames.groupBy(col("ship_name").as("name"))
+    frames.groupBy(col("ship_name").as("name"), col("imo"))
       .agg(tableDefects.map(l =>
-        sum(when(col(s"${l}_classification") > 0.8, 1).otherwise(0)).as(l)))
+        sum(when(col(l) > 0.8, 1).otherwise(0)).as(l)))
       .orderBy("name")
 
   def partTable(frames: DataFrame, triples: DataFrame, nodes: DataFrame): DataFrame = {
@@ -201,14 +225,17 @@ object GraphQueries {
       .join(partNames, Seq("part_id"))
       .groupBy("name")
       .agg(tableDefects.map(l =>
-        sum(when(col(s"${l}_classification") > 0.8, 1).otherwise(0)).as(l)))
+        sum(when(col(l) > 0.8, 1).otherwise(0)).as(l)))
       .orderBy("name")
   }
 
-  /** B15 (:251-294): per (inspection, cluster ≠ −1): 9 conditional sums,
-    * min(framenumber), count, argmax-by-uciqe key frame (ties → first,
-    * i.e. lowest frame id, matching the reference's strict `>` reduce),
-    * keyword labels where count > n/3.
+  /** B15 (:251-294): per (inspection, cluster ≠ −1): 9 conditional sums
+    * on the fused score (`i.{label} > 0.8`), min(framenumber), count,
+    * argmax-by-uciqe key frame — the reference's `CASE WHEN kf.uciqe >
+    * i.uciqe THEN kf ELSE i END` reduce REPLACES on ties, so the LAST max
+    * in framenumber order wins: ties break on the numeric framenumber,
+    * not the string frame id. Keywords where count > n/3 (integer ÷ in
+    * the reference; equivalent to the real-valued compare for int counts).
     */
   def clusterTable(frames: DataFrame, triples: DataFrame): DataFrame = {
     val inCluster = triples.where(col("pred") === "IN_CLUSTER")
@@ -216,12 +243,12 @@ object GraphQueries {
     val joined = frames.join(inCluster, Seq("frame_id"))
       .where(!col("cluster_id").endsWith(".-1"))
     val labelSums = Ontology.findingLabels.map(l =>
-      sum(when(col(l) > 0, 1).otherwise(0)).as(s"${l}_n"))
+      sum(when(col(l) > 0.8, 1).otherwise(0)).as(s"${l}_n"))
     val aggd = joined.groupBy("inspection_id", "cluster_id")
       .agg(Seq(
         min("framenumber").as("first_frame"),
         count(lit(1)).as("n"),
-        max_by(col("frame_id"), struct(col("uciqe"), col("frame_id"))).as("key_frame")
+        max_by(col("frame_id"), struct(col("uciqe"), col("framenumber"))).as("key_frame")
       ) ++ labelSums)
     val keywords = array(Ontology.findingLabels.map(l =>
       when(col(s"${l}_n") > col("n") / 3, lit(l))): _*)

@@ -1,0 +1,84 @@
+package graft
+
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup-family semantics + the hot-bucket cap's recall guarantee. */
+class DedupSpec extends AnyFunSuite {
+  lazy implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic fixture corpus: clusters of near-identical docs plus
+    * unique chaff — diverse enough that LSH buckets stay small.
+    */
+  def corpus(n: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map { i =>
+      val base = s"the quick brown fox jumps over the lazy dog " +
+        s"variant ${i % 7} with extra trailing content token$i"
+      (i.toLong, base, "en", "s", base.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("minhash candidate pairs: capped == uncapped when buckets fit the cap") {
+    val docs = corpus(60)
+    val sigs = Dedup.minhashSignatures(docs)
+    val uncapped = Dedup.minhashCandidates(sigs, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashCandidates(sigs, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === uncapped)
+    assert(capped.nonEmpty)
+  }
+
+  test("hot bucket: K identical docs stay one connected duplicate group under the cap") {
+    // 200 identical docs (way above the cap of 4) + chaff
+    val hot = (0 until 200).map(i =>
+      (i.toLong, "identical boilerplate body repeated verbatim everywhere", "en", "s", 50L))
+    val docs = hot.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sigs = Dedup.minhashSignatures(docs)
+    val pairs = Dedup.minhashCandidates(sigs, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // linear, not quadratic: <= cap * K pairs instead of K^2/2 = 19900
+    assert(pairs.length <= 4 * 200)
+    // every non-anchor doc is still reachable from a low anchor -> the
+    // duplicate GROUP survives transitive closure
+    val covered = pairs.map(_._2).toSet ++ pairs.map(_._1).toSet
+    assert(covered === (0L until 200L).toSet)
+  }
+
+  test("simhash pairs respect the Hamming bound and the a<b orientation") {
+    val docs = corpus(50)
+    val got = Dedup.simhashPairs(docs, maxHamming = 8).collect()
+    assert(got.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(got.forall(r => r.getAs[Number]("hamming").intValue <= 8))
+  }
+
+  test("embedding near-dup finds planted duplicate vectors") {
+    val vecs = (0 until 40).map { i =>
+      val base = Array.tabulate(16)(d => math.sin(i * 17 + d).toFloat)
+      (i.toLong, base.toSeq, 0)
+    } :+ ((99L, Array.tabulate(16)(d => math.sin(0 * 17 + d).toFloat).toSeq, 0))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDup(df, threshold = 0.999)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("0", "99")))
+  }
+
+  test("bpe token estimate: whitespace tokens + ceil(len/4) sub-tokens") {
+    // "internationalization" -> ceil(20/4)=5; "a" -> 1; "cat" -> 1
+    val df = Seq("internationalization a cat").toDF("text")
+    val got = df.select(TextAnalysis.bpeTokenEstimate.as("n")).as[Long].collect()(0)
+    assert(got === 7L)
+  }
+
+  test("language id: fixed-order argmax, und on zero hits") {
+    val docs = Seq(
+      (1L, "the thing and the other thing", "x", "s", 0L), // en n-grams
+      (2L, "zzzz qqqq", "x", "s", 0L) // no profile hits
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.languageId(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L)._1 === "en" && got(1L)._2 > 0)
+    assert(got(2L) === ("und", 0))
+  }
+}

@@ -27,19 +27,25 @@ class GraphQueriesSpec extends AnyFunSuite {
 
   test("B13 bin arithmetic matches the reference formula on edge cases") {
     import spark.implicits._
-    // (round((H - ship + 180... reference uses round; we bin equivalently:
-    // pmod(round((h-s)/30)*30, 360)
-    val df = Seq((359.9, 0.0), (15.1, 0.0), (14.9, 0.0), (180.0, 170.0))
+    // reference (data_manager.py:36,205):
+    // (round((H - ship_heading + 180)/30)*30) % 360
+    //  359.9: round(539.9/30)=18 -> 540 %360 = 180
+    //  15.1:  round(195.1/30)=7  -> 210
+    //  14.9:  round(194.9/30)=6  -> 180
+    //  (180, 170): round(190/30)=6 -> 180
+    //  (0, 359): round(-179/30)=-6 -> -180 -> pmod 180
+    val df = Seq((359.9, 0.0), (15.1, 0.0), (14.9, 0.0), (180.0, 170.0), (0.0, 359.0))
       .toDF("h", "s")
       .select(GraphQueries.headingBin(col("h"), col("s")).as("bin"))
-    assert(df.as[Int].collect().toSeq === Seq(0, 30, 0, 0 + 30 * 0)) // 10/30 rounds to 0
+    assert(df.as[Int].collect().toSeq === Seq(180, 210, 180, 180, 180))
   }
 
-  test("B14 ship table: conditional sums match a recount") {
+  test("B14 ship table: conditional sums on the fused score match a recount") {
     val got = GraphQueries.shipTable(frames).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getAs[String]("name") -> r.getAs[Long]("marine_growth")).toMap
+    // reference thresholds the fused score column (i.marine_growth > 0.8)
     val want = frames.groupBy("ship_name")
-      .agg(sum(when(col("marine_growth_classification") > 0.8, 1).otherwise(0)))
+      .agg(sum(when(col("marine_growth") > 0.8, 1).otherwise(0)))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === want)
   }
@@ -107,8 +113,12 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(Set("Ship", "Inspection", "Classification", "Frame") subsetOf ls)
   }
 
-  test("B12 marine-growth ratio is guarded and capped") {
-    val mg = GraphQueries.histogramData(frames, triples)("marine_growth_ratio")
+  test("B12 marine-growth ratio is per DISTINCT mosaic, guarded and capped") {
+    val mg = GraphQueries.histogramData(frames, triples, result.nodes)("marine_growth_ratio")
     assert(mg.where(col("marine_growth_ratio") < 0 || col("marine_growth_ratio") > 1).count() === 0)
+    // one ratio per mosaic reachable from the frame set, not per frame
+    val nMosaics = triples.where(col("pred") === "IN_MOSAIC")
+      .select("obj").distinct().count()
+    assert(mg.count() === nMosaics)
   }
 }

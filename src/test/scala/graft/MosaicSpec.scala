@@ -46,8 +46,9 @@ class MosaicSpec extends AnyFunSuite {
     assert(preds.contains("IN_MOSAIC"))
     assert(preds.contains("SIMILAR_TO"))
     assert(preds.contains("VISUALLY_SIMILAR_TO"))
-    // k=5 per frame per space (fewer only in tiny inspections)
-    assert(preds("SIMILAR_TO") === 600L * 5)
+    // KDTree semantics: k=5 including the self-match, which is skipped
+    // (similarity_pipeline.py:176-192) -> 4 edges per frame
+    assert(preds("SIMILAR_TO") === 600L * 4)
     // every SIMILAR_TO edge stays within one inspection and has a distance
     val cross = result.triples.where(col("pred") === "SIMILAR_TO")
       .where(split(col("subj"), "\\.")(0) =!= split(col("obj"), "\\.")(0)).count()

@@ -10,7 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Phase-2 golden parity: the engine's exact SIMILAR_TO edges must
   * equal a single-threaded kNN oracle applying the reference's feature
   * definition (similarity_pipeline.py:87-93 — [Depth, sin, cos, tilt,
-  * framenumber]) and k=5 with self-match skipped (:176-177).
+  * framenumber]) and the KDTree's k=5 INCLUDING the self-match, which
+  * is then skipped (:176-192) — at most 4 edges per frame.
   */
 class SimilarityGoldenSpec extends AnyFunSuite {
   lazy implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
@@ -38,13 +39,16 @@ class SimilarityGoldenSpec extends AnyFunSuite {
           math.cos(tel(1) * math.Pi * 2 / 360), tel(4), fno.toDouble))
       }
       pts.foreach { case (id, v) =>
-        val nbrs = pts.filter(_._1 != id)
+        // KDTree query over ALL points (self included): the self-match
+        // occupies one of the 5 slots and is skipped afterwards
+        val nbrs = pts
           .map { case (oid, ov) =>
             val d = math.sqrt(v.zip(ov).map { case (a, b) => (a - b) * (a - b) }.sum)
             (oid, d)
           }
           .sortBy { case (oid, d) => (d, oid) }
           .take(5)
+          .filter(_._1 != id)
         nbrs.foreach { case (oid, _) => want += ((id, oid)) }
       }
     }
