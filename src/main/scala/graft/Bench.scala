@@ -79,18 +79,25 @@ object Bench {
 
     // --- 2. operator queries on the driver's tables ---
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
+    // SPARK_GRAFT_ONLY=q1,q2 restricts to named queries (dev iteration)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val spark = session(cpus)
     val results =
       if (!runQueries) Seq.empty[(String, Double)]
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
 
     // --- 3. headline: end-to-end pipeline triples/sec at full cores ---
-    val (pipeSec, nTriples) = pipelineRun(spark, benchRows, nRepos, cpus, "/tmp/graft_bench")
-    val tps = nTriples / pipeSec
+    val doPipeline = sys.env.getOrElse("SPARK_GRAFT_PIPELINE", "1") == "1"
+    val (pipeSec, nTriples) =
+      if (doPipeline) pipelineRun(spark, benchRows, nRepos, cpus, "/tmp/graft_bench")
+      else (0.0, 0L)
+    val tps = if (pipeSec > 0) nTriples / pipeSec else 0.0
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + pipeSec

@@ -510,7 +510,8 @@ object SparkEntry {
         .writeStream.outputMode("complete").format("memory")
         .queryName("graft_sessions_q").trigger(Trigger.AvailableNow()).start()
       q.processAllAvailable(); q.stop()
-      s.sql("SELECT user_id, count(*) AS n_sessions FROM graft_sessions_q GROUP BY 1")
+      s.sql("SELECT user_id, count(*) AS n_sessions FROM graft_sessions_q " +
+        "GROUP BY 1 ORDER BY 1")
     }),
     "curation_pipeline" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -658,6 +659,17 @@ object SparkEntry {
         |       count(*) OVER (PARTITION BY grp) AS n FROM r)
         | SELECT doc_id AS id, component FROM c WHERE n >= 2 ORDER BY id""".stripMargin,
     "lang_id" -> langIdOracleSql,
+    "fingerprints" -> fingerprintsOracleSql,
+    // session_window merges events with gap < 30 min; a new session opens
+    // when the inter-event gap is >= the gap duration (half-open window)
+    "streaming_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        | b AS (SELECT user_id,
+        |   CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        |        THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us))
+        | SELECT user_id, cast(sum(brk) as bigint) AS n_sessions
+        | FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "telemetry_interp" ->
       """WITH raw AS (
         |  SELECT user_id AS inspection_id, cast(epoch_us(ts) as double) AS ts,
@@ -680,6 +692,27 @@ object SparkEntry {
         |   AND g.gts >= seg.pt AND (g.gts < seg.nt OR seg.nt IS NULL)
         | ORDER BY g.inspection_id, g.channel, g.frame_index""".stripMargin
   )
+
+  /** fingerprints oracle: the same base-31 polynomial k-gram hash
+    * (k = 8, window = 4) as TextAnalysis.fingerprints, spelled out as
+    * list-lambda SQL (character positions are 1-based in DuckDB).
+    */
+  private def fingerprintsOracleSql: String = {
+    val k = 8; val window = 4
+    val pow = Iterator.iterate(1L)(_ * 31L).take(k).toArray // 31^0..31^(k-1)
+    val gram = (0 until k)
+      .map(j => s"cast(unicode(text[i+$j:i+$j]) as bigint) * ${pow(k - 1 - j)}")
+      .mkString(" + ")
+    s"""WITH h AS (SELECT doc_id,
+       |   list_transform(generate_series(1, greatest(length(text) - ${k - 1}, 0)),
+       |     i -> $gram) AS hs
+       |  FROM documents),
+       | f AS (SELECT doc_id,
+       |   list_distinct(list_transform(generate_series(1, greatest(len(hs) - ${window - 1}, 0)),
+       |     w -> list_min(hs[w:w+${window - 1}]))) AS fps FROM h)
+       | SELECT doc_id, unnest(fps) AS fingerprint FROM f
+       | ORDER BY doc_id, fingerprint""".stripMargin
+  }
 
   /** lang_id oracle: per-language n-gram hit counts via `contains`,
     * argmax in the same fixed order as TextAnalysis.langProfiles

@@ -1,6 +1,5 @@
 package graft.ops
 
-import graft.core.Rng
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -74,18 +73,34 @@ object TextAnalysis {
 
   /** Winnowing document fingerprint (rolling Karp–Rabin over k-grams,
     * window minimum): the classic near-dup sketch for code corpora.
+    *
+    * The k-gram hash is a plain base-31 polynomial over UTF-16 code
+    * units (Σ c_j·31^(k−1−j), no modulus — fits a long for k ≤ 12),
+    * computed with an O(1) rolling update per position. Chosen over a
+    * mixed hash deliberately: the arithmetic is portable to the DuckDB
+    * oracle, so the driver value-checks this operator end-to-end.
     */
+  val FpBase = 31L
+
   def fingerprints(docs: DataFrame, k: Int = 8, window: Int = 4)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    val topPow = Array.fill(k - 1)(FpBase).product // 31^(k-1)
     docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
       it.map { case (id, text) =>
         val n = text.length
         val hashes = new Array[Long](math.max(n - k + 1, 0))
-        var i = 0
-        while (i + k <= n) {
-          hashes(i) = Rng.mix(0xf19e4L, Rng.hashString(text.substring(i, i + k)))
-          i += 1
+        if (n >= k) {
+          var h = 0L
+          var j = 0
+          while (j < k) { h = h * FpBase + text.charAt(j); j += 1 }
+          hashes(0) = h
+          var i = 1
+          while (i + k <= n) {
+            h = (h - text.charAt(i - 1) * topPow) * FpBase + text.charAt(i + k - 1)
+            hashes(i) = h
+            i += 1
+          }
         }
         val fps = scala.collection.mutable.LinkedHashSet[Long]()
         var w = 0
