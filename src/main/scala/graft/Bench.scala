@@ -16,20 +16,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  /** Same session profile as the pipeline CLI (graft.Main): tmpfs
+    * shuffle dirs, AQE, 3 waves/core, 64 MB broadcast threshold. The
+    * bench must measure the engine's tuned configuration — a default
+    * /tmp shuffle was costing the 32-core pipeline 2× wall.
+    */
+  def session(cores: Int): SparkSession =
+    graft.core.GraftSession(cores, "graft-bench")
 
   /** One full pipeline run; returns (seconds, triples). */
   def pipelineRun(spark: SparkSession, rows: Long, nRepos: Int, cores: Int,

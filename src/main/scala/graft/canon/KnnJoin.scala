@@ -1,7 +1,8 @@
 package graft.canon
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** k-NN similarity edges per group (reference A26: per-inspection
@@ -25,6 +26,48 @@ object KnnJoin {
 
   def dist(a: Column, b: Column): Column = sqrt(sqDist(a, b))
 
+  /** Bounded top-k accumulator over (distance, dst) candidates.
+    *
+    * Replaces the dropDuplicates + row_number() two-shuffle rank with a
+    * single groupBy(src) whose partial aggregation runs map-side: each
+    * task reduces its candidates to ≤ k survivors before the exchange,
+    * so the shuffle carries k rows per src instead of the whole
+    * candidate stream — the property that matters when hot LSH buckets
+    * fan out at 100 TB. Safe to prune partially because membership in
+    * the global top-k implies membership in the top-k of every subset;
+    * per-dst dedup is free since a pair's distance is identical in
+    * every hash table it collides in. Deterministic ties by (d, dst).
+    */
+  class TopKNeighbors(k: Int)
+      extends Aggregator[(Double, String), Seq[(Double, String)], Seq[(Double, String)]] {
+    private def prune(s: Seq[(Double, String)]): Seq[(Double, String)] =
+      if (s.lengthCompare(k) <= 0) s else s.sorted.take(k)
+    def zero: Seq[(Double, String)] = Nil
+    def reduce(b: Seq[(Double, String)], a: (Double, String)): Seq[(Double, String)] =
+      if (b.exists(_._2 == a._2)) b else prune(b :+ a)
+    def merge(b1: Seq[(Double, String)], b2: Seq[(Double, String)]): Seq[(Double, String)] =
+      prune((b1 ++ b2).distinct)
+    def finish(r: Seq[(Double, String)]): Seq[(Double, String)] = r.sorted
+    def bufferEncoder: Encoder[Seq[(Double, String)]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[(Double, String)]] = ExpressionEncoder()
+  }
+
+  /** (src, dst, distance) candidates → k nearest per src, one shuffle.
+    * dst round-trips through the aggregator as a string (lossless for
+    * the long/string ids used here) and is cast back on the way out.
+    */
+  private def topKByDistance(candidates: DataFrame, k: Int,
+                             dropSelf: Boolean): DataFrame = {
+    val dstType = candidates.schema("dst").dataType
+    val topk = udaf(new TopKNeighbors(k))
+    val ranked = candidates
+      .groupBy("src")
+      .agg(topk(col("distance"), col("dst").cast("string")).as("nn"))
+      .select(col("src"), explode(col("nn")).as("p"))
+      .select(col("src"), col("p._2").cast(dstType).as("dst"), col("p._1").as("distance"))
+    if (dropSelf) ranked.where(col("src") =!= col("dst")) else ranked
+  }
+
   /** feat: (id string, group long/string, vec array<double>).
     * Returns (src, dst, distance): k nearest neighbors of each id
     * within its group, deterministic ties by dst id.
@@ -41,15 +84,11 @@ object KnnJoin {
     val f = feat.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = f.select(col("id").as("src"), col("group"), col("vec").as("va"))
     val b = f.select(col("id").as("dst"), col("group"), col("vec").as("vb"))
-    val w = Window.partitionBy("src").orderBy(col("distance"), col("dst"))
     val pairs = a.join(b, Seq("group"))
     val candidates = if (selfRank) pairs else pairs.where(col("src") =!= col("dst"))
-    candidates
-      .withColumn("distance", dist(col("va"), col("vb")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .where(col("src") =!= col("dst"))
-      .select("src", "dst", "distance")
+    topKByDistance(
+      candidates.select(col("src"), col("dst"), dist(col("va"), col("vb")).as("distance")),
+      k, dropSelf = true)
   }
 
   /** LSH top-k: `tables` independent sign-random-projection signatures
@@ -86,15 +125,11 @@ object KnnJoin {
 
     val a = tagged.select(col("id").as("src"), col("group"), col("t"), col("sig"), col("vec").as("va"))
     val b = tagged.select(col("id").as("dst"), col("group"), col("t"), col("sig"), col("vec").as("vb"))
-    val w = Window.partitionBy("src").orderBy(col("distance"), col("dst"))
     val pairs = a.join(b, Seq("group", "t", "sig"))
     val candidates = if (selfRank) pairs else pairs.where(col("src") =!= col("dst"))
-    candidates
-      .select(col("src"), col("dst"), dist(col("va"), col("vb")).as("distance"))
-      .dropDuplicates("src", "dst") // same pair can collide in several tables
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .where(col("src") =!= col("dst"))
-      .select("src", "dst", "distance")
+    // cross-table duplicate pairs are deduped inside the aggregator
+    topKByDistance(
+      candidates.select(col("src"), col("dst"), dist(col("va"), col("vb")).as("distance")),
+      k, dropSelf = true)
   }
 }
