@@ -62,15 +62,22 @@ object Bench {
       val coresA = sys.env.getOrElse("SPARK_GRAFT_SCALE_A",
         math.max(cpus / 16, 2).toString).toInt
       val coresB = math.min(coresA * 4, cpus) // N and 4N
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+      // 2× the headline rows: the high-core run must stay well past the
+      // ~30 s fixed-overhead floor or host noise dominates the ratio.
+      // (best-of-2 repeats were tried and REJECTED: the warm second run
+      // only helps the JIT-bound low-core level, biasing the ratio down.)
+      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS",
+        (benchRows * 2).toString).toLong
+      val scaleRepos = math.max((scaleRows / 1500).toInt, 1)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt
       val sA = session(coresA)
       val (secA, nA) =
-        bestOf(reps)(pipelineRun(sA, benchRows, nRepos, coresA, "/tmp/graft_scale_a"))
+        bestOf(reps)(pipelineRun(sA, scaleRows, scaleRepos, coresA, "/tmp/graft_scale_a"))
       sA.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       val sB = session(coresB)
       val (secB, nB) =
-        bestOf(reps)(pipelineRun(sB, benchRows, nRepos, coresB, "/tmp/graft_scale_b"))
+        bestOf(reps)(pipelineRun(sB, scaleRows, scaleRepos, coresB, "/tmp/graft_scale_b"))
       sB.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       val tpsA = nA / secA; val tpsB = nB / secB
