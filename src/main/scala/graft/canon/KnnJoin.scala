@@ -52,19 +52,59 @@ object KnnJoin {
     def outputEncoder: Encoder[Seq[(Double, String)]] = ExpressionEncoder()
   }
 
+  /** Long-id twin of [[TopKNeighbors]] for the high-volume path (the
+    * pipeline's packed-long frame ids): no per-candidate string
+    * allocation, buffer kept sorted so a candidate worse than the
+    * current k-th is rejected with one compare and ZERO allocation —
+    * the common case once the buffer warms up, which is what keeps the
+    * per-candidate cost flat when LSH buckets fan out.
+    */
+  class TopKNeighborsLong(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    def zero: Seq[(Double, Long)] = Nil
+    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+      if (b.lengthCompare(k) >= 0) {
+        val w = b.last
+        if (a._1 > w._1 || (a._1 == w._1 && a._2 >= w._2)) return b
+      }
+      if (b.exists(_._2 == a._2)) b
+      else {
+        // sorted insert by (d, dst); identical pairs from different hash
+        // tables carry identical distances, so dedup-by-dst is exact
+        val (lo, hi) = b.span(x => x._1 < a._1 || (x._1 == a._1 && x._2 < a._2))
+        val ins = (lo :+ a) ++ hi
+        if (ins.lengthCompare(k) > 0) ins.take(k) else ins
+      }
+    }
+    def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (b1 ++ b2).distinct.sorted.take(k)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+  }
+
   /** (src, dst, distance) candidates → k nearest per src, one shuffle.
-    * dst round-trips through the aggregator as a string (lossless for
-    * the long/string ids used here) and is cast back on the way out.
+    * Long dst ids rank through the allocation-lean [[TopKNeighborsLong]];
+    * other id types round-trip through the aggregator as strings
+    * (lossless for the ids used here) and are cast back on the way out.
     */
   private def topKByDistance(candidates: DataFrame, k: Int,
                              dropSelf: Boolean): DataFrame = {
     val dstType = candidates.schema("dst").dataType
-    val topk = udaf(new TopKNeighbors(k))
-    val ranked = candidates
-      .groupBy("src")
-      .agg(topk(col("distance"), col("dst").cast("string")).as("nn"))
-      .select(col("src"), explode(col("nn")).as("p"))
-      .select(col("src"), col("p._2").cast(dstType).as("dst"), col("p._1").as("distance"))
+    val ranked =
+      if (dstType == org.apache.spark.sql.types.LongType) {
+        val topk = udaf(new TopKNeighborsLong(k))
+        candidates.groupBy("src")
+          .agg(topk(col("distance"), col("dst")).as("nn"))
+          .select(col("src"), explode(col("nn")).as("p"))
+          .select(col("src"), col("p._2").as("dst"), col("p._1").as("distance"))
+      } else {
+        val topk = udaf(new TopKNeighbors(k))
+        candidates.groupBy("src")
+          .agg(topk(col("distance"), col("dst").cast("string")).as("nn"))
+          .select(col("src"), explode(col("nn")).as("p"))
+          .select(col("src"), col("p._2").cast(dstType).as("dst"), col("p._1").as("distance"))
+      }
     if (dropSelf) ranked.where(col("src") =!= col("dst")) else ranked
   }
 
@@ -95,41 +135,83 @@ object KnnJoin {
     * of `bits` bits each; rows sharing (table, signature, group) become
     * candidates. Deterministic hyperplanes from a seeded hash of the
     * dimension index — no fitted model state to persist.
+    *
+    * Candidate generation is LINEAR in bucket size: a full within-bucket
+    * self-join goes K² on a hot bucket (at 400k rows the telemetry space
+    * produced 117M pairs, 29× the useful work; a 100 TB boilerplate
+    * bucket would be quadratic). Instead, rows in a bucket are ordered
+    * by one extra deterministic projection (near in L2 ⇒ near in any 1-d
+    * projection, so true neighbors land at adjacent positions) and each
+    * row pairs only with its ±`window` positional neighbors — exactly
+    * 2·window·tables candidates per row. Buckets of ≤ window+1 rows are
+    * still paired exhaustively, so fixture-scale recall is unchanged
+    * (CanonSpec's 0.8 floor). The per-bucket row_number is the only
+    * skew-sensitive step, and it ranks scalars, not vectors.
     */
   def approxTopK(feat: DataFrame, k: Int, tables: Int = 4, bits: Int = 8,
-                 seed: Long = 42L, selfRank: Boolean = false): DataFrame = {
+                 seed: Long = 42L, selfRank: Boolean = false,
+                 window: Int = 8): DataFrame = {
     val dims = 64 // upper bound on vec length used for plane generation
     // signature per table: sum over bits of sign(dot(vec, plane)) << bit
     def planeCoef(t: Int, bit: Int, d: Int): Double = {
       val h = graft.core.Rng.mix(seed + t * 1000003L, bit * 131L + d)
       (h >>> 11) * 1.1102230246251565e-16 * 2.0 - 1.0
     }
+    def plane(t: Int, bit: Int): Column =
+      lit((0 until dims).map(d => planeCoef(t, bit, d)).toArray)
     def signature(t: Int): Column = {
       val bitCols = (0 until bits).map { bit =>
-        val planes = lit((0 until dims).map(d => planeCoef(t, bit, d)).toArray)
         // Dot runs over min(|vec|, |planes|) — no slicing needed
-        val dot = graft.core.VectorExprs.vec_dot(col("vec"), planes)
+        val dot = graft.core.VectorExprs.vec_dot(col("vec"), plane(t, bit))
         when(dot >= 0, lit(1L << bit)).otherwise(lit(0L))
       }
       bitCols.reduce(_ + _)
     }
+    // ordering projection: one extra plane per table (index `bits`, never
+    // used by the signature), so bucket order is independent of the bits
+    def orderProj(t: Int): Column =
+      graft.core.VectorExprs.vec_dot(col("vec"), plane(t, bits))
     val tagged = feat.select(
       col("id"), col("group"), col("vec"),
       explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), signature(t).as("sig"))): _*)).as("h"))
+        struct(lit(t).as("t"), signature(t).as("sig"), orderProj(t).as("p"))): _*)).as("h"))
       .select(col("id"), col("group"), col("vec"),
-        col("h.t").as("t"), col("h.sig").as("sig"))
-      // self-join below: without materialization the signature stage and
-      // everything upstream would execute once per join side
+        col("h.t").as("t"), col("h.sig").as("sig"), col("h.p").as("p"))
+    val posed = tagged
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("group", "t", "sig").orderBy(col("p"), col("id"))))
+      // two join sides below: without materialization the signature stage
+      // and everything upstream would execute once per side
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val a = tagged.select(col("id").as("src"), col("group"), col("t"), col("sig"), col("vec").as("va"))
-    val b = tagged.select(col("id").as("dst"), col("group"), col("t"), col("sig"), col("vec").as("vb"))
-    val pairs = a.join(b, Seq("group", "t", "sig"))
-    val candidates = if (selfRank) pairs else pairs.where(col("src") =!= col("dst"))
+    // block = pos / window as an extra join key: an in-window pair
+    // (Δpos ≤ window) spans at most two adjacent blocks, so the hi side
+    // replicates into (block, block−1) and every equi-key bucket holds
+    // O(window) rows — the join never enumerates a quadratic cross
+    // product, not even transiently inside a sort-merge task
+    val lo = posed.select(col("id").as("src"), col("group"), col("t"),
+      col("sig"), (col("pos") / window).cast("int").as("blk"),
+      col("pos"), col("vec").as("va"))
+    val hi = posed.select(col("id").as("dst"), col("group"), col("t"), col("sig"),
+      explode(array((col("pos") / window).cast("int"),
+        ((col("pos") / window).cast("int") - 1))).as("blk"),
+      col("pos").as("pos_hi"), col("vec").as("vb"))
+    // each unordered in-window pair matches exactly one (blk) key and is
+    // scored once; both directions then feed the ranker
+    // merge hint: both sides are the persisted `posed` whose in-memory
+    // stats AQE under-estimates — an attempted broadcast of a
+    // million-row vec side OOMs the driver (observed at 400k rows)
+    val scored = lo.join(hi.hint("merge"), Seq("group", "t", "sig", "blk"))
+      .where(col("pos_hi") - col("pos") >= 1 && col("pos_hi") - col("pos") <= window)
+      .select(col("src"), col("dst"), dist(col("va"), col("vb")).as("distance"))
+    val both = scored.unionByName(scored.select(
+      col("dst").as("src"), col("src").as("dst"), col("distance")))
+    // reference KDTree semantics: the query point is in the tree, so the
+    // self-match occupies one of the k result slots before being skipped
+    val candidates = if (!selfRank) both else both.unionByName(
+      feat.select(col("id").as("src"), col("id").as("dst"), lit(0.0).as("distance")))
     // cross-table duplicate pairs are deduped inside the aggregator
-    topKByDistance(
-      candidates.select(col("src"), col("dst"), dist(col("va"), col("vb")).as("distance")),
-      k, dropSelf = true)
+    topKByDistance(candidates, k, dropSelf = true)
   }
 }
