@@ -415,7 +415,10 @@ object SparkEntry {
     })
   ) ++ rowsOnlyQueries
 
-  // --- operators with no SQL-expressible oracle: driver rows-only check ---
+  // --- operator queries added after the first wave; most have no
+  // SQL-expressible oracle (driver rows-only check), but any key that
+  // also appears in oracleSql (cc_components, fuzzy_link, ...) is
+  // hash-gated like the main set ---
 
   def rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](
@@ -473,17 +476,17 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       import s.implicits._
       // mentions = misspelled component names planted deterministically
+      // (doc_id < 200, not limit(200): the oracle must select the same rows)
       val entities = graft.core.Ontology.entries
         .map(e => (e.visCode, e.name)).toDF("entity_id", "name")
-      val mentions = t(s, dir, "documents").select(
-        col("doc_id").as("mention_id"),
-        concat(
-          element_at(split(col("text"), " "), 1), lit(" "),
-          lit("propeler arangement")).as("text"))
-        .limit(200)
-      graft.link.FuzzyLinker.link(
-        mentions.select(col("mention_id"), lit("propeler arangement").as("text")),
-        entities)
+      val mentions = t(s, dir, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id").as("mention_id"),
+          lit("propeler arangement").as("text"))
+      graft.link.FuzzyLinker.link(mentions, entities)
+        .select(col("mention_id").cast("long").as("mention_id"), col("entity_id"),
+          round(col("score"), 6).as("score"), col("method"))
+        .orderBy("mention_id")
     }),
     "kg_similar_edges" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -693,6 +696,23 @@ object SparkEntry {
         |         ORDER BY list_distance(a.v, b.v), cast(b.vec_id as varchar)) AS rn
         |       FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
         | SELECT src, dst, distance FROM p WHERE rn <= 5 ORDER BY src, distance, dst""".stripMargin,
+    // hash-min CC == min reachable vertex id; the closure is enumerable
+    // at oracle scale via a recursive CTE over the symmetrized 3-NN graph
+    "cc_components" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, label, cast(embedding as double[]) AS v FROM embeddings),
+        | p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |       row_number() OVER (PARTITION BY a.vec_id
+        |         ORDER BY list_distance(a.v, b.v), cast(b.vec_id as varchar)) AS rn
+        |       FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        | knn AS (SELECT src, dst FROM p WHERE rn <= 3),
+        | edges AS (SELECT src, dst FROM knn UNION SELECT dst AS src, src AS dst FROM knn),
+        | reach(a, b) AS (
+        |   SELECT vec_id, vec_id FROM e
+        |   UNION
+        |   SELECT r.a, ed.dst FROM reach r JOIN edges ed ON r.b = ed.src)
+        | SELECT cast(a as bigint) AS id, cast(min(b) as bigint) AS component
+        | FROM reach GROUP BY a ORDER BY id""".stripMargin,
+    "fuzzy_link" -> fuzzyLinkOracleSql,
     // session_window merges events with gap < 30 min; a new session opens
     // when the inter-event gap is >= the gap duration (half-open window)
     "streaming_sessions" ->
@@ -809,6 +829,35 @@ object SparkEntry {
     }
     s"SELECT source, ${cols.mkString(", ")}, count(*) AS n_docs " +
       "FROM documents GROUP BY 1 ORDER BY 1"
+  }
+
+  /** fuzzy_link oracle: LSH blocking is a candidate-generation
+    * optimization — at oracle scale its candidates contain the global
+    * best entity, so exact argmax trigram Jaccard over the whole
+    * (broadcast-sized) ontology states the intended semantics directly.
+    */
+  private def fuzzyLinkOracleSql: String = {
+    val vals = Ontology.entries.sortBy(_.visCode)
+      .map(e => s"('${e.visCode}', '${e.name.replace("'", "''")}')").mkString(", ")
+    s"""WITH ent AS (SELECT entity_id,
+       |    lower(regexp_replace(name, '[^a-zA-Z0-9]+', ' ', 'g')) AS e_norm
+       |  FROM (VALUES $vals) t(entity_id, name)),
+       | m AS (SELECT doc_id AS mention_id, 'propeler arangement' AS m_norm
+       |       FROM documents WHERE doc_id < 200),
+       | eg AS (SELECT entity_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(length(e_norm) - 2, 1)), i -> e_norm[i:i+2])) AS eg FROM ent),
+       | mg AS (SELECT mention_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(length(m_norm) - 2, 1)), i -> m_norm[i:i+2])) AS mg FROM m),
+       | scored AS (SELECT mention_id, entity_id,
+       |    cast(len(list_intersect(mg, eg)) as double)
+       |      / len(list_distinct(list_concat(mg, eg))) AS score
+       |  FROM mg CROSS JOIN eg),
+       | best AS (SELECT mention_id, entity_id, score,
+       |    row_number() OVER (PARTITION BY mention_id ORDER BY score DESC, entity_id) AS rn
+       |  FROM scored WHERE score >= 0.4)
+       | SELECT cast(mention_id as bigint) AS mention_id, entity_id,
+       |   round(score, 6) AS score, 'minhash_lsh' AS method
+       | FROM best WHERE rn = 1 ORDER BY mention_id""".stripMargin
   }
 
   private def kgPartRollupOracleSql: String = {

@@ -181,9 +181,14 @@ object KnnJoin {
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("group", "t", "sig").orderBy(col("p"), col("id"))))
-      // two join sides below: without materialization the signature stage
-      // and everything upstream would execute once per side
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, not persist: `posed` is referenced three times
+      // below (two join sides + self candidates), and persist only caches
+      // execution — the ANALYZER still walks the full upstream plan per
+      // reference. With a wide feature lineage (the 25-label frame
+      // extraction) that made Catalyst the bottleneck: one query spent
+      // 150+ s in plan transforms and could stack-overflow. The eager
+      // checkpoint truncates the plan to an RDD leaf.
+      .localCheckpoint(true)
 
     // block = pos / window as an extra join key: an in-window pair
     // (Δpos ≤ window) spans at most two adjacent blocks, so the hi side
@@ -198,19 +203,25 @@ object KnnJoin {
         ((col("pos") / window).cast("int") - 1))).as("blk"),
       col("pos").as("pos_hi"), col("vec").as("vb"))
     // each unordered in-window pair matches exactly one (blk) key and is
-    // scored once; both directions then feed the ranker
-    // merge hint: both sides are the persisted `posed` whose in-memory
-    // stats AQE under-estimates — an attempted broadcast of a
-    // million-row vec side OOMs the driver (observed at 400k rows)
+    // scored once; the explode emits both directions WITHOUT re-executing
+    // the join (a second select over `scored` would replay its lineage).
+    // merge hint: AQE under-estimates the checkpointed sides — an
+    // attempted broadcast of a million-row vec side OOMs the driver
+    // (observed at 400k rows)
     val scored = lo.join(hi.hint("merge"), Seq("group", "t", "sig", "blk"))
       .where(col("pos_hi") - col("pos") >= 1 && col("pos_hi") - col("pos") <= window)
       .select(col("src"), col("dst"), dist(col("va"), col("vb")).as("distance"))
-    val both = scored.unionByName(scored.select(
-      col("dst").as("src"), col("src").as("dst"), col("distance")))
+    val both = scored
+      .select(explode(array(
+        struct(col("src"), col("dst"), col("distance")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("distance")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.distance").as("distance"))
     // reference KDTree semantics: the query point is in the tree, so the
-    // self-match occupies one of the k result slots before being skipped
+    // self-match occupies one of the k result slots before being skipped.
+    // Self pairs come from `posed` (one per hash table — the ranker
+    // dedups by dst), so no extra upstream lineage is referenced.
     val candidates = if (!selfRank) both else both.unionByName(
-      feat.select(col("id").as("src"), col("id").as("dst"), lit(0.0).as("distance")))
+      posed.select(col("id").as("src"), col("id").as("dst"), lit(0.0).as("distance")))
     // cross-table duplicate pairs are deduped inside the aggregator
     topKByDistance(candidates, k, dropSelf = true)
   }

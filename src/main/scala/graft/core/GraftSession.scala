@@ -24,10 +24,18 @@ object GraftSession {
       .appName(appName)
       .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_AQE", "1") == "1").toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // constraint propagation is O(constraints × aliases) per plan node;
+      // on the 25-label frame-extraction lineage layered under
+      // window+explode+join it ran for minutes / OOMed the driver
+      // (getAllValidConstraints in every optimizer fixpoint round). The
+      // engine's filters are explicit — inferred IsNotNulls are not worth
+      // a superlinear driver cost on wide-alias plans.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .getOrCreate()
