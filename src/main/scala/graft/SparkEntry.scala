@@ -378,6 +378,34 @@ object SparkEntry {
         .where(graft.ops.CurationPipeline.hashBucket(col("text")) < 300000L)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // A12-A14 mosaic sessionization against a window-SQL oracle: frames
+    // synthesized from `events` with SQL-visible arithmetic (the pipeline's
+    // own telemetry comes from the Scala Rng, which DuckDB cannot replay),
+    // then the REAL operator (Mosaics.withSessions + gate + UnionCoverage)
+    "q25_mosaic_sessions" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_type"), col("value"))
+      val frames = t(s, dir, "events").select(
+        col("user_id").as("inspection_id"),
+        row_number().over(w).as("framenumber"),
+        pmod(col("value") * 7.3, lit(360.0)).as("Heading"),
+        (pmod(col("value"), lit(25.0)) / 10.0).as("Depth"),
+        (pmod(col("value"), lit(1.0)) * 0.9).as("cov"))
+      graft.materialize.Mosaics.withSessions(frames)
+        .groupBy(col("inspection_id"), col("session"))
+        .agg(count("*").as("n_frames"),
+          (lit(1.0) + max("Depth") - min("Depth")).as("size_raw"),
+          round(graft.materialize.Mosaics.unionCoverage(col("cov")), 6)
+            .as("union_cov"))
+        .where(col("n_frames") >= graft.materialize.Mosaics.minFrames ||
+          col("size_raw") >= graft.materialize.Mosaics.sizeIncreaseKeep)
+        .select(col("inspection_id"), col("session").cast("long").as("session"),
+          col("n_frames"), round(col("size_raw"), 6).as("size_increase"),
+          col("union_cov"))
+        .orderBy("inspection_id", "session")
+    }),
+
     // --- connected components against a window-SQL oracle ---
 
     "cc_sizes" -> ((s, dir) => {
@@ -713,6 +741,32 @@ object SparkEntry {
         | SELECT cast(a as bigint) AS id, cast(min(b) as bigint) AS component
         | FROM reach GROUP BY a ORDER BY id""".stripMargin,
     "fuzzy_link" -> fuzzyLinkOracleSql,
+    // union coverage 1-prod(1-cov) as exp(sum(ln(...))) — agrees with the
+    // sequential product to ~1e-12, far inside the round-to-6 contract
+    "q25_mosaic_sessions" ->
+      """WITH e AS (SELECT user_id AS inspection_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type, value) AS framenumber,
+        |    ((value * 7.3) % 360.0 + 360.0) % 360.0 AS heading,
+        |    ((value % 25.0 + 25.0) % 25.0) / 10.0 AS depth,
+        |    ((value % 1.0 + 1.0) % 1.0) * 0.9 AS cov
+        |  FROM events),
+        | b AS (SELECT inspection_id, framenumber, depth, cov,
+        |    CASE WHEN lag(heading) OVER w IS NULL THEN 1
+        |         WHEN least(abs(heading - lag(heading) OVER w),
+        |                    360.0 - abs(heading - lag(heading) OVER w)) > 45.0 THEN 1
+        |         WHEN abs(depth - lag(depth) OVER w) > 2.0 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY inspection_id ORDER BY framenumber)),
+        | s AS (SELECT *, sum(brk) OVER (PARTITION BY inspection_id ORDER BY framenumber) AS session FROM b),
+        | m AS (SELECT inspection_id, cast(session as bigint) AS session,
+        |    count(*) AS n_frames,
+        |    1.0 + max(depth) - min(depth) AS size_raw,
+        |    1.0 - exp(sum(ln(greatest(1.0 - least(greatest(cov, 0.0), 1.0), 1e-300)))) AS uc
+        |  FROM s GROUP BY 1, 2)
+        | SELECT inspection_id, session, n_frames, round(size_raw, 6) AS size_increase,
+        |   round(uc, 6) AS union_cov
+        | FROM m WHERE n_frames >= 3 OR size_raw >= 1.5
+        | ORDER BY inspection_id, session""".stripMargin,
     // session_window merges events with gap < 30 min; a new session opens
     // when the inter-event gap is >= the gap duration (half-open window)
     "streaming_sessions" ->

@@ -34,10 +34,14 @@ object CurationPipeline {
 
   def run(docs: DataFrame, cfg: Config = Config())(
       implicit spark: SparkSession): DataFrame = {
-    // 1. exact dedup: keep min doc_id per content hash
+    // 1. exact dedup: keep min doc_id per content hash.
+    // Persisted: the survivor set feeds the minhash signature scan AND
+    // the near-dup anti-join AND the quality gates — without it the
+    // window re-executes once per consumer.
     val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
     val exact = docs.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 2. near-dup drop: of each LSH-verified pair keep the smaller id
     val losers = Dedup.minhashPairs(exact, threshold = cfg.nearDupJaccard)
