@@ -406,6 +406,19 @@ object SparkEntry {
         .orderBy("inspection_id", "session")
     }),
 
+    // A25 exact DBSCAN against a DuckDB oracle that replays the full
+    // semantics (eps-ball core test, connected components over core-core
+    // edges via recursive closure, border attach to min core component,
+    // dense per-group numbering, noise = -1) on SQL-visible vectors
+    "q26_dbscan" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val pts = t(s, dir, "embeddings").select(
+        col("vec_id").cast("long").as("id"),
+        col("label").cast("long").as("group"),
+        expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      graft.canon.Dbscan.cluster(pts, eps = 1.25, minPts = 4).orderBy("id")
+    }),
+
     // --- connected components against a window-SQL oracle ---
 
     "cc_sizes" -> ((s, dir) => {
@@ -741,6 +754,34 @@ object SparkEntry {
         | SELECT cast(a as bigint) AS id, cast(min(b) as bigint) AS component
         | FROM reach GROUP BY a ORDER BY id""".stripMargin,
     "fuzzy_link" -> fuzzyLinkOracleSql,
+    // element-order list_sum mirrors sq_dist's index-order accumulation;
+    // 1.25*1.25 is exact in binary on both engines
+    "q26_dbscan" ->
+      """WITH RECURSIVE e AS (SELECT vec_id AS id, cast(label as bigint) AS grp,
+        |     cast(embedding as double[]) AS v FROM embeddings),
+        | nbr AS (SELECT a.id AS src, b.id AS dst
+        |         FROM e a JOIN e b ON a.grp = b.grp AND a.id <> b.id
+        |         WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+        |           i -> (a.v[i] - b.v[i]) ** 2)) <= 1.25 * 1.25),
+        | core AS (SELECT src AS id FROM nbr GROUP BY src HAVING count(*) >= 3),
+        | ce AS (SELECT n.src, n.dst FROM nbr n
+        |        JOIN core c1 ON n.src = c1.id JOIN core c2 ON n.dst = c2.id),
+        | reach(a, b) AS (SELECT id, id FROM core
+        |   UNION SELECT r.a, ce.dst FROM reach r JOIN ce ON r.b = ce.src),
+        | comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+        | border AS (SELECT n.src AS id, min(cp.component) AS component
+        |    FROM nbr n JOIN comp cp ON n.dst = cp.id
+        |    WHERE n.src NOT IN (SELECT id FROM core) GROUP BY n.src),
+        | assigned AS (SELECT * FROM comp UNION ALL SELECT * FROM border),
+        | pts AS (SELECT e.id, e.grp, a.component FROM e LEFT JOIN assigned a ON e.id = a.id),
+        | num AS (SELECT id, grp, cast(dense_rank() OVER (
+        |     PARTITION BY grp ORDER BY component) - 1 as bigint) AS cluster
+        |   FROM pts WHERE component IS NOT NULL)
+        | SELECT cast(id as bigint) AS id, grp AS "group", cluster FROM num
+        | UNION ALL
+        | SELECT cast(id as bigint) AS id, grp AS "group", cast(-1 as bigint) AS cluster
+        |   FROM pts WHERE component IS NULL
+        | ORDER BY id""".stripMargin,
     // union coverage 1-prod(1-cov) as exp(sum(ln(...))) — agrees with the
     // sequential product to ~1e-12, far inside the round-to-6 contract
     "q25_mosaic_sessions" ->
