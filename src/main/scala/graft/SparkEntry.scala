@@ -556,6 +556,23 @@ object SparkEntry {
         .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       graft.canon.ConnectedComponents.run(edges)
     }),
+    // stateful streaming operator (flatMapGroupsWithState): exact dedup,
+    // first-seen-wins keyed state; single-file source → one micro-batch,
+    // so first-seen == global min doc_id == the batch/DuckDB oracle
+    "streaming_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_q").toString
+      docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(docs.schema).parquet(tmp)
+      val q = graft.streaming.StreamingIngest.dedupStream(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_sdedup_q").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.sql("SELECT doc_id, hash FROM graft_sdedup_q ORDER BY doc_id")
+    }),
+
     "streaming_sessions" -> ((s, dir) => {
       // Structured Streaming surface, driven synchronously: session_window
       // over the event stream, complete mode, memory sink
@@ -808,6 +825,9 @@ object SparkEntry {
         |   round(uc, 6) AS union_cov
         | FROM m WHERE n_frames >= 3 OR size_raw >= 1.5
         | ORDER BY inspection_id, session""".stripMargin,
+    "streaming_dedup" ->
+      """SELECT cast(min(doc_id) as bigint) AS doc_id, md5(text) AS hash
+        | FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     // session_window merges events with gap < 30 min; a new session opens
     // when the inter-event gap is >= the gap duration (half-open window)
     "streaming_sessions" ->

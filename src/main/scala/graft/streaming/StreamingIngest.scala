@@ -54,4 +54,34 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session.start").as("session_start"),
         col("n_events"))
+
+  /** Streaming exact dedup with custom keyed state
+    * (`flatMapGroupsWithState`): the first document seen per content
+    * hash passes (lowest doc_id inside a micro-batch, for determinism);
+    * every later duplicate — same batch or any later batch — is dropped
+    * by the per-key seen-flag state. This is the streaming twin of
+    * `Dedup`'s exact path: at 100 TB the state store holds one boolean
+    * per distinct content hash, partitioned by key, and a production
+    * deployment would bound it with a TTL timeout; kept NoTimeout here
+    * so the semantics stay exactly first-seen-wins.
+    *
+    * docs: streaming (doc_id long, text string) → (doc_id, hash).
+    */
+  def dedupStream(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), md5(col("text")))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((rows.map(_._1).min, key))
+          }
+      }
+      .toDF("doc_id", "hash")
+  }
 }

@@ -37,6 +37,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming === batch)
   }
 
+  test("stateful streaming dedup: first-seen-wins across restarts (flatMapGroupsWithState)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_dedup_out").toString
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+
+    // memory sink cannot recover from a checkpoint — the file sink can,
+    // and cross-restart state restoration is exactly what this proves
+    def runPhase(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = StreamingIngest.dedupStream(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    def emitted(): Set[Long] =
+      spark.read.parquet(out).collect().map(_.getLong(0)).toSet
+
+    // phase 1: key "aa" appears twice (ids 3, 1) → min id 1 survives
+    Seq((3L, "aa"), (1L, "aa")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    runPhase()
+    assert(emitted() === Set(1L))
+
+    // phase 2 (new query run, same checkpoint → state restored): the
+    // repeat of "aa" (id 0, lower than phase 1's winner!) is dropped by
+    // state; the new key "bb" passes
+    Seq((0L, "aa"), (4L, "bb")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    runPhase()
+    assert(emitted() === Set(1L, 4L))
+  }
+
+  test("streaming dedup == batch exact dedup on a single batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_b").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = StreamingIngest.dedupStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_full")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streaming = spark.sql("SELECT doc_id, hash FROM dedup_full")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = docs.groupBy(md5(col("text")).as("hash"))
+      .agg(min("doc_id").as("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getString(0))).toSet
+    assert(streaming === batch)
+  }
+
   test("streaming mention scorer == batch extractor totals") {
     import spark.implicits._
     val corpus = SparkEntry.docsCorpus(spark, sfDir)
