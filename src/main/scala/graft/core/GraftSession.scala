@@ -38,6 +38,14 @@ object GraftSession {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // ObjectHashAggregate (typed Aggregators: top-k kNN ranker, union
+      // coverage) falls back to SORT-BASED aggregation after 128 distinct
+      // keys by default — with millions of src keys the ranking degraded
+      // to a full sort of the candidate stream. k≤5 tuple buffers are a
+      // few hundred bytes/key, so 256k in-memory keys per task is tens of
+      // MB, well inside the executor budget (1M was tried: same wall,
+      // more GC).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
