@@ -79,7 +79,7 @@ object Bench {
       // then B back-to-back (near-identical host conditions within the
       // pair) and the rep with the highest efficiency — the least
       // interference — is reported whole. Runs are JIT-warmed.
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
       def timed(c: Int): (Double, Long) = {
         val s = session(c)
         val r = pipelineRun(s, scaleRows, scaleRepos, c, s"/tmp/graft_scale_$c",
