@@ -42,24 +42,146 @@ object DictAnalyzer {
 }
 
 /** A dictionary compiled once per partition (north_star: "regex/dictionary
-  * tokenizers compiled per-partition"). For the small reference dictionary
-  * a direct multi-term scan is optimal; the structure is the hook where an
-  * Aho–Corasick automaton slots in for large dictionaries.
+  * tokenizers compiled per-partition"). The reference dictionary is 25
+  * terms, where a direct multi-term `indexOf` scan (SIMD-intrinsified)
+  * wins; above [[CompiledDict.acThreshold]] terms the compiled form is an
+  * Aho–Corasick automaton — one pass over the text regardless of
+  * dictionary size, the shape a 100k-term dictionary needs at 100 TB.
+  * Both paths implement the same per-term NON-OVERLAPPING left-to-right
+  * counting semantics (DictAnalyzerSpec proves them equal on random
+  * corpora).
   */
 final class CompiledDict(val labels: Array[String], val terms: Array[String])
     extends Serializable {
+  @transient private lazy val automaton: AhoCorasick =
+    if (terms.length > CompiledDict.acThreshold) AhoCorasick(terms) else null
+
+  def countAll(text: String): Array[Int] =
+    if (automaton ne null) automaton.countAll(text)
+    else {
+      val out = new Array[Int](terms.length)
+      var i = 0
+      while (i < terms.length) {
+        out(i) = DictAnalyzer.countOccurrences(text, terms(i))
+        i += 1
+      }
+      out
+    }
+}
+
+/** Aho–Corasick automaton for multi-pattern counting in a single text
+  * pass. Transitions are per-node open-addressed char→state tables (no
+  * boxing in the hot loop); fail links collapse to the standard
+  * goto/fail BFS construction; outputs are term-index lists per node,
+  * merged transitively via the fail links at build time.
+  *
+  * Counting reproduces `DictAnalyzer.countOccurrences`'s non-overlapping
+  * left-to-right semantics per term independently: a match of term t
+  * starting at s counts iff s ≥ lastEnd(t), then lastEnd(t) = s + |t|.
+  * Matches of one term arrive in increasing start order (fixed length,
+  * increasing end), so greedy acceptance is identical to the indexOf
+  * scan.
+  */
+final class AhoCorasick private (
+    nTerms: Int,
+    termLen: Array[Int],
+    gotoKeys: Array[Array[Char]],    // per-state sorted transition chars
+    gotoVals: Array[Array[Int]],     // matching next states
+    fail: Array[Int],
+    outTerms: Array[Array[Int]]      // per-state matched term indices (incl. via suffix links)
+) extends Serializable {
+
+  private def step(state: Int, c: Char): Int = {
+    var s = state
+    while (true) {
+      val keys = gotoKeys(s)
+      val idx = java.util.Arrays.binarySearch(keys, c)
+      if (idx >= 0) return gotoVals(s)(idx)
+      if (s == 0) return 0
+      s = fail(s)
+    }
+    0 // unreachable
+  }
+
   def countAll(text: String): Array[Int] = {
-    val out = new Array[Int](terms.length)
+    val counts = new Array[Int](nTerms)
+    val lastEnd = new Array[Int](nTerms)
+    java.util.Arrays.fill(lastEnd, 0)
+    var s = 0
     var i = 0
-    while (i < terms.length) {
-      out(i) = DictAnalyzer.countOccurrences(text, terms(i))
+    while (i < text.length) {
+      s = step(s, text.charAt(i))
+      val outs = outTerms(s)
+      var j = 0
+      while (j < outs.length) {
+        val t = outs(j)
+        val start = i + 1 - termLen(t)
+        if (start >= lastEnd(t)) {
+          counts(t) += 1
+          lastEnd(t) = start + termLen(t)
+        }
+        j += 1
+      }
       i += 1
     }
-    out
+    counts
+  }
+}
+
+object AhoCorasick {
+  def apply(terms: Array[String]): AhoCorasick = {
+    // trie construction with growable parallel arrays
+    val maxNodes = terms.map(_.length).sum + 1
+    val next = Array.fill(maxNodes)(scala.collection.mutable.TreeMap.empty[Char, Int])
+    val termAt = Array.fill(maxNodes)(List.empty[Int])
+    var nNodes = 1
+    var t = 0
+    while (t < terms.length) {
+      var s = 0
+      val term = terms(t)
+      var i = 0
+      while (i < term.length) {
+        s = next(s).getOrElseUpdate(term.charAt(i), { val n = nNodes; nNodes += 1; n })
+        i += 1
+      }
+      if (term.nonEmpty) termAt(s) ::= t
+      t += 1
+    }
+    // BFS fail links + transitive output merge
+    val fail = new Array[Int](nNodes)
+    val outs = Array.fill(nNodes)(List.empty[Int])
+    var s0 = 0
+    while (s0 < nNodes) { outs(s0) = termAt(s0); s0 += 1 }
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    next(0).foreach { case (_, v) => fail(v) = 0; queue.enqueue(v) }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      next(u).foreach { case (c, v) =>
+        var f = fail(u)
+        while (f != 0 && !next(f).contains(c)) f = fail(f)
+        // next(0)(c) == v exactly when v is a depth-1 node → fail = root
+        fail(v) = next(f).get(c).filter(_ != v).getOrElse(0)
+        outs(v) = outs(v) ++ outs(fail(v))
+        queue.enqueue(v)
+      }
+    }
+    new AhoCorasick(
+      terms.length,
+      terms.map(_.length),
+      Array.tabulate(nNodes)(s => next(s).keys.toArray),
+      Array.tabulate(nNodes)(s => next(s).values.toArray),
+      fail,
+      outs.map(_.toArray)
+    )
   }
 }
 
 object CompiledDict {
+  /** Term count above which the compiled form is the Aho–Corasick
+    * automaton; below it the intrinsified multi-indexOf scan is faster.
+    */
+  val acThreshold = 32
+
   /** label → mention term. For the synthetic corpus the term IS the label
     * token; for other corpora (e.g. the driver's `documents` table) the
     * mapping is configurable.
