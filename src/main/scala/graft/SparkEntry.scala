@@ -320,6 +320,21 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // exact twin of the embedding near-dup operator: all-pairs cosine
+    // above a threshold chosen 550x the engines' arithmetic noise away
+    // from the nearest pair (0.45; closest pair at 0.4494)
+    "q27_cosine_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val a = emb.select(col("vec_id").as("a"), col("v").as("va"))
+      val b = emb.select(col("vec_id").as("b"), col("v").as("vb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("cos", SimilaritySearch.cosine(col("va"), col("vb")))
+        .where(col("cos") >= 0.45)
+        .select(col("a"), col("b"), round(col("cos"), 4).as("cosine"))
+        .orderBy("a", "b")
+    }),
+
     // --- exact ANN baselines vs list-arithmetic oracles ---
 
     "ann_topk" -> ((s, dir) => {
@@ -828,6 +843,13 @@ object SparkEntry {
     "streaming_dedup" ->
       """SELECT cast(min(doc_id) as bigint) AS doc_id, md5(text) AS hash
         | FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q27_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings)
+        | SELECT a.vec_id AS a, b.vec_id AS b,
+        |   round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        | ORDER BY a, b""".stripMargin,
     // session_window merges events with gap < 30 min; a new session opens
     // when the inter-event gap is >= the gap duration (half-open window)
     "streaming_sessions" ->
