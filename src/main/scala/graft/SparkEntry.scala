@@ -492,6 +492,29 @@ object SparkEntry {
         .collect()(0).getSeq[Double](0).toArray
       SimilaritySearch.ivfTopK(emb.where(col("vec_id") =!= 0), q, 20)
     }),
+    // FULL-PROBE twins, hash-gated against the brute-force oracle: with
+    // nProbe = centroids (IVF) / one zero-bit table + corpus-wide pairing
+    // window (LSH) the approximate machinery — assignment, probing,
+    // positional blocking, top-k re-rank — runs end-to-end but must
+    // reproduce the exact answer. Proves the ANN plumbing, not just its
+    // recall floor (AnnSpec covers that).
+    "ann_ivf_full" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      SimilaritySearch.ivfTopK(emb.where(col("vec_id") =!= 0), q, 20,
+        centroids = 16, nProbe = 16)
+    }),
+    "ann_lsh_full" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      val base = emb.where(col("vec_id") =!= 0)
+      SimilaritySearch.lshTopKFull(base, q, 20, n = base.count().toInt + 1)
+        .select(col("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
     "minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.0)
@@ -607,6 +630,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.ops.CurationPipeline.run(t(s, dir, "documents"),
         graft.ops.CurationPipeline.Config(minQuality = 0.1, tokenBudget = 20000L))
+    }),
+    // exact-stage curation twin (no minhash stage): every stage is plain
+    // SQL, so the composite's stage WIRING is hash-proven by the driver
+    // gate; curation_pipeline above stays the rows-only full variant
+    "curation_exact" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.ops.CurationPipeline.runExact(t(s, dir, "documents"),
+        graft.ops.CurationPipeline.Config(minQuality = 0.1, tokenBudget = 20000L))
+        .select(col("doc_id"), col("lang"), col("tokens"), col("quality"))
+        .orderBy("doc_id")
     }),
     "pca_reduce" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -759,6 +792,22 @@ object SparkEntry {
         | round(list_cosine_similarity(cast(e.embedding as double[]),
         |   (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
         | FROM embeddings e WHERE e.vec_id <> 0 ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin,
+    // full-probe IVF reduces to brute force — same oracle as ann_topk
+    "ann_ivf_full" ->
+      """SELECT e.vec_id,
+        | round(list_cosine_similarity(cast(e.embedding as double[]),
+        |   (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        | FROM embeddings e WHERE e.vec_id <> 0 ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin,
+    // full-probe LSH reduces to exact k-NN by L2; tie order inside the
+    // engine's top-k ranker is (distance, dst as string) — mirrored by
+    // the varchar cast (knn_graph precedent)
+    "ann_lsh_full" ->
+      """WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+        | q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        | SELECT e.vec_id, round(list_distance(e.v, q.qv), 6) AS distance
+        | FROM e, q WHERE e.vec_id <> 0
+        | ORDER BY list_distance(e.v, q.qv), cast(e.vec_id as varchar) LIMIT 20""".stripMargin,
+    "curation_exact" -> curationExactOracleSql,
     // tie order inside the engine's top-k aggregator is (distance, dst
     // as string) — mirrored by the varchar cast in the window order
     "knn_graph" ->
@@ -923,8 +972,10 @@ object SparkEntry {
        | ORDER BY doc_id""".stripMargin
   }
 
-  /** q22 oracle: mirrors TextAnalysis.qualityScore arithmetic exactly. */
-  private def qualityOracleSql: String = {
+  /** The rounded quality-score expression (TextAnalysis.qualityScore
+    * arithmetic, mirrored exactly) — shared by q22 and curation_exact.
+    */
+  private def qualityExprSql: String = {
     val tok = s"($tokSql)"
     val meanWordLen = s"(cast(length(text) - $tok + 1 as double) / $tok)"
     val stopHits = s"((length(text) - length(replace(text, 'the', ''))) / 3 + " +
@@ -932,8 +983,36 @@ object SparkEntry {
     val stopRatio = s"(cast($stopHits as double) / $tok)"
     val lenScore = s"(1.0 - least(abs($meanWordLen - 5.5) / 5.5, 1.0))"
     val stopScore = s"(1.0 - least(abs($stopRatio - 0.1) * 5.0, 1.0))"
-    s"SELECT doc_id, round($lenScore * 0.6 + $stopScore * 0.4, 6) AS quality " +
-      "FROM documents ORDER BY doc_id"
+    s"round($lenScore * 0.6 + $stopScore * 0.4, 6)"
+  }
+
+  /** q22 oracle: mirrors TextAnalysis.qualityScore arithmetic exactly. */
+  private def qualityOracleSql: String =
+    s"SELECT doc_id, $qualityExprSql AS quality FROM documents ORDER BY doc_id"
+
+  /** curation_exact oracle: exact dedup (q20's min-doc_id-per-md5 rule) →
+    * token floor → quality gate on the ROUNDED score (both engines decide
+    * the boundary on the same 1e-6 grid) → hash-threshold token budget
+    * with the engine's exact `trunc(budget/total · 10^6)` arithmetic
+    * (integer bucket vs integer threshold — no float boundary).
+    */
+  private def curationExactOracleSql: String = {
+    val budget = 20000L; val minTokens = 5; val minQuality = "0.1"
+    s"""WITH exact AS (
+       |  SELECT doc_id, lang, text,
+       |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM documents),
+       | g AS (
+       |  SELECT doc_id, lang, text, $tokSql AS tokens, $qualityExprSql AS quality
+       |  FROM exact WHERE rn = 1),
+       | gated AS (SELECT * FROM g WHERE tokens >= $minTokens AND quality >= $minQuality),
+       | tot AS (SELECT sum(tokens) AS total FROM gated)
+       | SELECT doc_id, lang, cast(tokens as int) AS tokens, quality
+       | FROM gated, tot
+       | WHERE total <= $budget OR
+       |   (cast(concat('0x', substr(md5(text), 1, 8)) as bigint) % 1000000)
+       |     < cast(trunc(cast($budget as double) / total * 1000000) as bigint)
+       | ORDER BY doc_id""".stripMargin
   }
 
   /** kg_scores oracle: per-label fused score via substring counting. */

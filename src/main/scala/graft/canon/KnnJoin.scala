@@ -43,10 +43,18 @@ object KnnJoin {
     private def prune(s: Seq[(Double, String)]): Seq[(Double, String)] =
       if (s.lengthCompare(k) <= 0) s else s.sorted.take(k)
     def zero: Seq[(Double, String)] = Nil
-    def reduce(b: Seq[(Double, String)], a: (Double, String)): Seq[(Double, String)] =
-      if (b.exists(_._2 == a._2)) b else prune(b :+ a)
+    // dst collision keeps the MIN distance: current callers provably feed
+    // identical distances per (src, dst) (same pair from different hash
+    // tables), but a future caller with differing per-pair scores must
+    // not get silently wrong rankings
+    def reduce(b: Seq[(Double, String)], a: (Double, String)): Seq[(Double, String)] = {
+      val i = b.indexWhere(_._2 == a._2)
+      if (i < 0) prune(b :+ a)
+      else if (a._1 < b(i)._1) b.updated(i, a)
+      else b
+    }
     def merge(b1: Seq[(Double, String)], b2: Seq[(Double, String)]): Seq[(Double, String)] =
-      prune((b1 ++ b2).distinct)
+      prune((b1 ++ b2).groupBy(_._2).valuesIterator.map(_.min).toSeq)
     def finish(r: Seq[(Double, String)]): Seq[(Double, String)] = r.sorted
     def bufferEncoder: Encoder[Seq[(Double, String)]] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[(Double, String)]] = ExpressionEncoder()
@@ -65,19 +73,23 @@ object KnnJoin {
     def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
       if (b.lengthCompare(k) >= 0) {
         val w = b.last
+        // safe even if a's dst is already in the buffer: the buffered
+        // entry is ≤ worst, so rejecting the worse duplicate keeps the min
         if (a._1 > w._1 || (a._1 == w._1 && a._2 >= w._2)) return b
       }
-      if (b.exists(_._2 == a._2)) b
+      val di = b.indexWhere(_._2 == a._2)
+      if (di >= 0 && b(di)._1 <= a._1) b
       else {
-        // sorted insert by (d, dst); identical pairs from different hash
-        // tables carry identical distances, so dedup-by-dst is exact
-        val (lo, hi) = b.span(x => x._1 < a._1 || (x._1 == a._1 && x._2 < a._2))
+        // dst collision keeps the min distance (identical-distance in
+        // current callers; see TopKNeighbors note); sorted insert by (d, dst)
+        val base = if (di >= 0) b.patch(di, Nil, 1) else b
+        val (lo, hi) = base.span(x => x._1 < a._1 || (x._1 == a._1 && x._2 < a._2))
         val ins = (lo :+ a) ++ hi
         if (ins.lengthCompare(k) > 0) ins.take(k) else ins
       }
     }
     def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      (b1 ++ b2).distinct.sorted.take(k)
+      (b1 ++ b2).groupBy(_._2).valuesIterator.map(_.min).toSeq.sorted.take(k)
     def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
     def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
@@ -165,7 +177,10 @@ object KnnJoin {
         val dot = graft.core.VectorExprs.vec_dot(col("vec"), plane(t, bit))
         when(dot >= 0, lit(1L << bit)).otherwise(lit(0L))
       }
-      bitCols.reduce(_ + _)
+      // bits = 0 → one bucket per group: the FULL-PROBE degenerate case
+      // (with window ≥ group size this reduces to exact k-NN — the
+      // reduction the driver's ann_lsh_full oracle gate exploits)
+      if (bits == 0) lit(0L) else bitCols.reduce(_ + _)
     }
     // ordering projection: one extra plane per table (index `bits`, never
     // used by the signature), so bucket order is independent of the bits

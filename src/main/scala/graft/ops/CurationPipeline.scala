@@ -35,13 +35,17 @@ object CurationPipeline {
   def run(docs: DataFrame, cfg: Config = Config())(
       implicit spark: SparkSession): DataFrame = {
     // 1. exact dedup: keep min doc_id per content hash.
-    // Persisted: the survivor set feeds the minhash signature scan AND
-    // the near-dup anti-join AND the quality gates — without it the
-    // window re-executes once per consumer.
+    // localCheckpoint (eager), not persist: the survivor set feeds the
+    // minhash signature scan AND the near-dup anti-join AND the quality
+    // gates — without materialization the window re-executes once per
+    // consumer. Unlike a persist() the caller would have to own and
+    // unpersist, checkpoint blocks are dropped by the ContextCleaner as
+    // soon as the plan is garbage-collected, so repeated run() calls in a
+    // long-lived session don't accumulate session-lifetime caches.
     val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
     val exact = docs.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // 2. near-dup drop: of each LSH-verified pair keep the smaller id
     val losers = Dedup.minhashPairs(exact, threshold = cfg.nearDupJaccard)
@@ -62,15 +66,49 @@ object CurationPipeline {
     // parallel, rerun-stable, budget hit in expectation (±sampling error).
     val tokens = TextAnalysis.tokenCount(col("text"))
     val withTok = gated.withColumn("tokens", tokens)
-    if (cfg.tokenBudget == Long.MaxValue) withTok
+    budgetSample(withTok, cfg.tokenBudget)
+  }
+
+  /** Stage 4 shared by [[run]] and [[runExact]]: deterministic
+    * hash-threshold token-budget sample. The threshold arithmetic
+    * (`trunc(budget/total · 10^6)` on doubles) is mirrored verbatim by
+    * the DuckDB oracle — integer bucket vs integer threshold, so no
+    * float-boundary flakiness.
+    */
+  private def budgetSample(withTok: DataFrame, budget: Long): DataFrame = {
+    if (budget == Long.MaxValue) withTok
     else {
       val total = withTok.agg(sum("tokens")).collect()(0).getLong(0)
-      if (total <= cfg.tokenBudget) withTok
+      if (total <= budget) withTok
       else {
-        val frac = cfg.tokenBudget.toDouble / total
+        val frac = budget.toDouble / total
         val m = 1000000L
         withTok.where(hashBucket(col("text"), m) < (frac * m).toLong)
       }
     }
+  }
+
+  /** Exact-stage curation twin: exact dedup → quality gate → language
+    * keep-list → token budget, WITHOUT the MinHash near-dup stage — every
+    * stage is plain SQL, so the driver's DuckDB oracle hash-proves the
+    * stage wiring end-to-end ([[run]] stays the full rows-only variant).
+    *
+    * The quality gate compares the ROUNDED score (qualityScore rounds to
+    * 6 digits) so the oracle's boundary behavior is decided on the same
+    * discrete grid on both engines.
+    */
+  def runExact(docs: DataFrame, cfg: Config = Config())(
+      implicit spark: SparkSession): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    val exact = docs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+    val gated = exact
+      .withColumn("tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .where(col("tokens") >= cfg.minTokens)
+      .where(col("quality") >= cfg.minQuality)
+      .where(if (cfg.keepLangs.isEmpty) lit(true)
+             else col("lang").isin(cfg.keepLangs: _*))
+    budgetSample(gated, cfg.tokenBudget)
   }
 }

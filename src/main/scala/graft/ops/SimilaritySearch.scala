@@ -35,17 +35,30 @@ object SimilaritySearch {
     * buckets across `tables` hash tables, then exact re-rank.
     */
   def lshTopK(embeddings: DataFrame, query: Array[Double], k: Int,
-              tables: Int = 6, bits: Int = 6): DataFrame = {
+              tables: Int = 6, bits: Int = 6, window: Int = 8): DataFrame = {
     val feat = embeddings.select(col("vec_id").cast("string").as("id"),
       lit(1L).as("group"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
     // reuse the deterministic hyperplanes of KnnJoin via a one-row query df
     val qdf = feat.sparkSession.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row("__query__", 1L, query)),
       feat.schema)
-    val knn = graft.canon.KnnJoin.approxTopK(feat.unionByName(qdf), k, tables, bits)
+    val knn = graft.canon.KnnJoin.approxTopK(feat.unionByName(qdf), k, tables, bits,
+      window = window)
     knn.where(col("src") === "__query__")
       .select(col("dst").cast("long").as("vec_id"), col("distance"))
   }
+
+  /** Full-probe LSH: one table, zero signature bits (a single bucket) and
+    * a pairing window covering the whole corpus — the bucketing machinery
+    * runs end-to-end (tagging, positional blocking, pair join, top-k
+    * ranker) but the candidate set is exhaustive, so the result reduces
+    * to exact k-NN by L2 distance. This is the oracle gate for the LSH
+    * path: the driver hash-checks it against brute-force SQL.
+    * `n` must be ≥ the corpus size.
+    */
+  def lshTopKFull(embeddings: DataFrame, query: Array[Double], k: Int,
+                  n: Int): DataFrame =
+    lshTopK(embeddings, query, k, tables = 1, bits = 0, window = n)
 
   /** IVF-flat ANN: C deterministic centroids (the C vectors with the
     * smallest content hash — a seeded sample of the data), every vector
