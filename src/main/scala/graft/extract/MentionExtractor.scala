@@ -140,6 +140,10 @@ object MentionExtractor {
       .select(
         Seq(
           concat(col("inspection_id"), lit("."), col("framenumber")).as("frame_id"),
+          // reference Frame.thumbnail = "{frame_id}.jpg" (pipeline/
+          // pipeline.py:116) — the B3 coalesce falls back to this
+          concat(col("inspection_id"), lit("."), col("framenumber"), lit(".jpg"))
+            .as("thumbnail"),
           col("repo"), col("path"), col("lang"),
           col("imo"), col("ship_id"), col("ship_name"),
           col("inspection_id"), col("inspection_date"), col("ship_heading"),

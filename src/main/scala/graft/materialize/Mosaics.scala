@@ -25,7 +25,15 @@ object Mosaics {
 
   val headingBreak = 45.0
   val depthBreak = 2.0
-  val minFrames = 3 // gate analog (reference: 180 frames at 30 fps)
+
+  /** Session gate analog. Default 3 is the fixture-scale analog of the
+    * reference's 180-frame gate (6 s at 30 fps, pipeline/pipeline.py:
+    * 153-156) — our synthetic corpora emit ~1 frame per telemetry
+    * sample, not 30 fps. [[build]] takes it as a parameter so a
+    * realistic 30 fps corpus runs at `referenceMinFrames` unmodified.
+    */
+  val minFrames = 3
+  val referenceMinFrames = 180 // the reference's own constant
 
   /** Session-keep threshold on the size_increase analog. The reference
     * discards a session only when BOTH arms fail: `frames < 180 AND
@@ -86,7 +94,9 @@ object Mosaics {
     * of the session (pipeline/pipeline.py:138). Sessions below the
     * frame gate are discarded (A13).
     */
-  def build(frames: DataFrame, labels: Seq[String] = Ontology.allLabels)(
+  def build(frames: DataFrame, labels: Seq[String] = Ontology.allLabels,
+            minFrames: Int = Mosaics.minFrames,
+            sizeIncreaseKeep: Double = Mosaics.sizeIncreaseKeep)(
       implicit spark: SparkSession): (DataFrame, DataFrame) = {
     val sessioned = withSessions(frames)
 
@@ -143,6 +153,12 @@ object Mosaics {
           lit("n_frames"), col("n_frames").cast("string"),
           lit("x_dim"), xDim.cast("string"),
           lit("y_dim"), yDim.cast("string"),
+          // reference image artifacts (pipeline/pipeline.py:172-173):
+          // image_file "{id}.jpg", seg_image_file "{id}_seg.jpg". The
+          // Mosaic node carries NO uciqe prop — B3's coalesce(m.uciqe,
+          // i.uciqe) always falls through to the frame's value.
+          lit("image_file"), concat(col("mosaic_id"), lit(".jpg")),
+          lit("seg_image_file"), concat(col("mosaic_id"), lit("_seg.jpg")),
           lit("size_increase"), round(col("size_increase"), 6).cast("string"))
           ++ pctEntries ++ cocoEntries): _*
       ).as("props"))

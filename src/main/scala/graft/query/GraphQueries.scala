@@ -45,20 +45,35 @@ object GraphQueries {
     pmod(round((h - shipHeading + 180) / 30) * 30, lit(360)).cast("int")
 
   /** B3 (:35-44): frames of an inspection in one heading sector,
-    * ORDER BY uciqe DESC. (Mosaic coalesce is a left join on IN_MOSAIC.)
+    * projected exactly as the reference does —
+    * `coalesce(m.seg_image_file, i.thumbnail) AS image_path,
+    *  coalesce(m.uciqe, i.uciqe) AS uciqe` (data_manager.py:38-39; the
+    * Mosaic node carries no uciqe prop, so that arm falls through), or
+    * the plain `i.thumbnail / i.uciqe` projection when `mosaics=false`
+    * (:39). DISTINCT, ORDER BY uciqe DESC (:40).
     */
-  def framesAngle(frames: DataFrame, triples: DataFrame, inspectionId: Long,
-                  angle: Int,
+  def framesAngle(frames: DataFrame, triples: DataFrame, nodes: DataFrame,
+                  inspectionId: Long, angle: Int, mosaics: Boolean = true,
                   shipHeading: Column = coalesce(col("ship_heading"), lit(0.0))): DataFrame = {
-    val inMosaic = triples.where(col("pred") === "IN_MOSAIC")
-      .select(col("subj").as("frame_id"), col("obj").as("mosaic_id"))
-    frames.where(col("inspection_id") === inspectionId)
+    val base = frames.where(col("inspection_id") === inspectionId)
       .where(headingBin(col("Heading"), shipHeading) === angle)
-      .join(inMosaic, Seq("frame_id"), "left")
-      .select(col("frame_id"), col("uciqe"),
-        coalesce(col("mosaic_id"), col("frame_id")).as("display_id"))
-      .distinct()
-      .orderBy(desc("uciqe"))
+    val projected =
+      if (!mosaics)
+        base.select(col("thumbnail").as("image_path"), col("uciqe"))
+      else {
+        val inMosaic = triples.where(col("pred") === "IN_MOSAIC")
+          .select(col("subj").as("frame_id"), col("obj").as("mosaic_id"))
+        val mosaicProps = nodes.where(col("label") === "Mosaic")
+          .select(col("id").as("mosaic_id"),
+            col("props")("seg_image_file").as("m_seg_image"),
+            // absent key → null: the literal m.uciqe coalesce arm
+            col("props")("uciqe").cast("double").as("m_uciqe"))
+        base.join(inMosaic, Seq("frame_id"), "left")
+          .join(mosaicProps, Seq("mosaic_id"), "left")
+          .select(coalesce(col("m_seg_image"), col("thumbnail")).as("image_path"),
+            coalesce(col("m_uciqe"), col("uciqe")).as("uciqe"))
+      }
+    projected.distinct().orderBy(desc("uciqe"))
   }
 
   /** B4 (:46-50): frames of (inspection, cluster n), ORDER BY framenumber. */
@@ -78,7 +93,12 @@ object GraphQueries {
     frames.where(col("inspection_id").isin(inspectionIds: _*)).where(pred)
 
   /** B6 (:56-58): 1-hop neighborhood expansion — frames reachable from
-    * the set over any predicate, either direction, unioned with the set.
+    * the set over any predicate, either direction, unioned with the set,
+    * then re-matched `(i:Frame) <-[:HAS_FRAME]- (ins:Inspection)`: the
+    * reference UNWINDs the collected set and returns (frame, inspection)
+    * rows. The HAS_FRAME join doubles as the `:Frame` label restriction —
+    * expansion can reach non-frame nodes (Classification via DEPICTS,
+    * Mosaic via IN_MOSAIC), which the re-match drops.
     */
   def neighborhood(triples: DataFrame, frameIds: DataFrame): DataFrame = {
     val ids = frameIds.select(col("frame_id"))
@@ -86,7 +106,10 @@ object GraphQueries {
       .select(col("obj").as("frame_id"))
     val in = triples.join(ids, triples("obj") === ids("frame_id"), "left_semi")
       .select(col("subj").as("frame_id"))
-    ids.unionByName(out).unionByName(in).distinct()
+    val all = ids.unionByName(out).unionByName(in)
+    val hasFrame = triples.where(col("pred") === "HAS_FRAME")
+      .select(col("obj").as("frame_id"), col("subj").as("inspection_id"))
+    all.join(hasFrame, Seq("frame_id")).distinct()
   }
 
   /** B7 (:74-86): ORDER BY frame_id LIMIT 300 — top-k. */

@@ -91,14 +91,49 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(math.abs(maxU - kfU) < 1e-12)
   }
 
-  test("B6 neighborhood expansion includes the seed set and 1-hop frames") {
+  test("B6 neighborhood expansion returns (frame, inspection) rows per the reference") {
     import spark.implicits._
     val seed = frames.limit(5).select("frame_id")
     val nbh = GraphQueries.neighborhood(triples, seed)
     val seedIds = seed.as[String].collect().toSet
-    val nbhIds = nbh.as[String].collect().toSet
+    val nbhIds = nbh.select("frame_id").as[String].collect().toSet
     assert(seedIds subsetOf nbhIds)
     assert(nbhIds.size > seedIds.size)
+    // the re-match restricts to Frame nodes (data_manager.py:56-58):
+    // every returned id is a real frame, paired with ITS inspection
+    val bad = nbh.join(frames.select(col("frame_id"),
+        concat(lit("i_"), col("inspection_id")).as("expected")),
+      Seq("frame_id"), "left")
+      .where(col("expected").isNull || col("inspection_id") =!= col("expected"))
+    assert(bad.count() === 0)
+  }
+
+  test("B3 frames-by-angle projects the reference coalesce columns") {
+    import spark.implicits._
+    // pick a (inspection, bin) pair that certainly has rows
+    val f0 = frames.select(col("inspection_id"),
+      GraphQueries.headingBin(col("Heading"),
+        coalesce(col("ship_heading"), lit(0.0))).as("bin"))
+      .limit(1).collect()(0)
+    val (insp, bin) = (f0.getLong(0), f0.getInt(1))
+    val got = GraphQueries.framesAngle(frames, triples, result.nodes, insp, bin)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0).endsWith(".jpg")))
+    // in-mosaic frames show the mosaic's seg image, the rest their thumbnail
+    val segPaths = rows.map(_.getString(0)).filter(_.endsWith("_seg.jpg"))
+    val mosaicIds = triples.where(col("pred") === "IN_MOSAIC")
+      .select("obj").distinct().as[String].collect().toSet
+    assert(segPaths.forall(p => mosaicIds.contains(p.stripSuffix("_seg.jpg"))))
+    // uciqe always falls through to the frame's value (no m.uciqe prop):
+    // every returned uciqe exists among the bin's frame uciqes
+    val frameU = frames.where(col("inspection_id") === insp)
+      .select("uciqe").as[Double].collect().toSet
+    assert(rows.forall(r => frameU.contains(r.getDouble(1))))
+    // mosaics=false projects the plain thumbnail/uciqe pair
+    val plain = GraphQueries.framesAngle(frames, triples, result.nodes,
+      insp, bin, mosaics = false).collect()
+    assert(plain.nonEmpty && plain.forall(r => !r.getString(0).endsWith("_seg.jpg")))
   }
 
   test("A5 frame stride keeps every Nth frame only") {

@@ -38,6 +38,30 @@ class MosaicSpec extends AnyFunSuite {
     assert(s.distinct.length === 1)
   }
 
+  test("gate thresholds are parameters: reference 180-frame constant drops short sessions") {
+    // inspection 1: 200 steady frames (one session), then a heading jump
+    // opens a 3-frame session with no depth growth
+    val rows = (0L until 200L).map(i => (s"1.$i", 1L, i, 10.0, 5.0)) ++
+      Seq(("1.200", 1L, 200L, 200.0, 5.0), ("1.201", 1L, 201L, 200.0, 5.0),
+        ("1.202", 1L, 202L, 200.0, 5.0))
+    val frames = rows.toDF("frame_id", "inspection_id", "framenumber", "Heading", "Depth")
+    val defaults = Mosaics.build(frames, labels = Nil)._2.count()
+    val reference = Mosaics.build(frames, labels = Nil,
+      minFrames = Mosaics.referenceMinFrames)._2.count()
+    assert(defaults === 2)  // fixture-scale gate keeps both sessions
+    assert(reference === 1) // 180-frame gate: 3-frame non-growing session dropped
+  }
+
+  test("mosaic nodes carry the reference image artifacts (pipeline.py:172-173)") {
+    val rows = (0L until 5L).map(i => (s"1.$i", 1L, i, 10.0, 5.0))
+    val nodes = Mosaics.build(rows.toDF(
+      "frame_id", "inspection_id", "framenumber", "Heading", "Depth"), labels = Nil)._2
+    val props = nodes.select("props").collect()(0).getMap[String, String](0)
+    assert(props("image_file") === props("seg_image_file").replace("_seg", ""))
+    assert(props("seg_image_file").endsWith("_seg.jpg"))
+    assert(!props.contains("uciqe")) // reference Mosaic has no uciqe prop
+  }
+
   test("full pipeline phase 2 emits mosaics, similarity and cluster triples") {
     val cfg = CorpusGen.Config(rows = 600, nRepos = 2, partitions = 4)
     val result = KgPipeline.runFull(CorpusGen.corpus(spark, cfg))
