@@ -60,43 +60,95 @@ object SimilaritySearch {
                   n: Int): DataFrame =
     lshTopK(embeddings, query, k, tables = 1, bits = 0, window = n)
 
-  /** IVF-flat ANN: C deterministic centroids (the C vectors with the
-    * smallest content hash — a seeded sample of the data), every vector
+  /** Argmin over a broadcast centroid table as a LINEAR fold: the
+    * centroid table is one array<array<double>> literal and `aggregate`
+    * threads the running (best distance, index) through a lambda
+    * variable — a fixed-size expression regardless of C. (A naive
+    * when(a<=b,a).otherwise(b) reduce duplicates the accumulated subtree
+    * per step: 2^C nodes, megabyte task binaries, and a 585 s query at
+    * sf0.1.)
+    */
+  private def nearestCentroid(vecCol: Column, cents: Array[Array[Double]]): Column = {
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    aggregate(
+      sequence(lit(0), lit(cents.length - 1)),
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("i")),
+      (acc, i) => {
+        val d = graft.core.VectorExprs.sq_dist(vecCol, element_at(centsLit, i + 1))
+        when(d < acc("d"), struct(d.as("d"), i.as("i"))).otherwise(acc)
+      }
+    )("i")
+  }
+
+  /** Deterministic seed centroids: the C vectors with the smallest id
+    * hash — a seeded sample of the data.
+    */
+  private def sampleCentroids(embeddings: DataFrame, c: Int): Array[Array[Double]] =
+    embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("vec"),
+        xxhash64(col("vec_id")).as("h"))
+      .orderBy("h").limit(c)
+      .select(col("vec"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Lloyd-iteration centroid fit (the k-means|| shape: seed from a
+    * deterministic sample, refine with `iters` assign/average rounds over
+    * a bounded sample). Hash-sample seeds give no balance guarantee on
+    * clustered real data — a couple of Lloyd rounds make the
+    * nProbe/recall trade-off trustworthy (reference anchor: the exact
+    * KDTree of similarity_pipeline.py:153-157 is what IVF approximates).
+    *
+    * Scale shape: the fit runs on a `sampleCap`-bounded deterministic
+    * sample (fitting is a statistics pass, not a corpus pass); each round
+    * is one map-side assignment + one (bucket, dim)-grouped average —
+    * shuffle rows ≤ sample·dims, independent of corpus size. Empty
+    * clusters keep their previous centroid.
+    */
+  def fitCentroids(embeddings: DataFrame, c: Int, iters: Int,
+                   sampleCap: Int = 100000): Array[Array[Double]] = {
+    val sample = embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("vec"),
+        xxhash64(col("vec_id")).as("h"))
+      .orderBy("h").limit(sampleCap)
+      .select("vec")
+      .localCheckpoint(true) // re-read once per Lloyd round
+    var cents = sampleCentroids(embeddings, c)
+    for (_ <- 0 until iters) {
+      val stats = sample
+        .withColumn("bucket", nearestCentroid(col("vec"), cents))
+        .select(col("bucket"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy("bucket", "dim")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.foreach { r =>
+        val (b, d) = (r.getInt(0), r.getInt(1))
+        next(b)(d) = r.getDouble(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF-flat ANN: C centroids (deterministic hash-sample seeds, or
+    * `fitIters` Lloyd rounds over a sample when > 0), every vector
     * assigned to its nearest centroid (broadcast argmin, map-only), a
     * query probes the nProbe nearest centroid buckets and re-ranks
     * exactly. The inverted-list shape that scales: candidate set ≈
     * nProbe/C of the corpus instead of all of it.
     */
   def ivfTopK(embeddings: DataFrame, query: Array[Double], k: Int,
-              centroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = embeddings.sparkSession
+              centroids: Int = 16, nProbe: Int = 4,
+              fitIters: Int = 0): DataFrame = {
     val v = expr("transform(embedding, x -> cast(x as double))")
-    // deterministic centroid sample
-    val cents = embeddings
-      .select(col("vec_id"), v.as("vec"), xxhash64(col("vec_id")).as("h"))
-      .orderBy("h").limit(centroids)
-      .select(col("vec"))
-      .collect().map(_.getSeq[Double](0).toArray)
-
-    // Argmin over centroids as a LINEAR fold: the centroid table is one
-    // array<array<double>> literal and `aggregate` threads the running
-    // (best distance, index) through a lambda variable — a fixed-size
-    // expression regardless of C. (A naive when(a<=b,a).otherwise(b)
-    // reduce duplicates the accumulated subtree per step: 2^C nodes,
-    // megabyte task binaries, and a 585 s query at sf0.1.)
-    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
-    def nearestCentroid(vecCol: Column): Column =
-      aggregate(
-        sequence(lit(0), lit(centroids - 1)),
-        struct(lit(Double.MaxValue).as("d"), lit(-1).as("i")),
-        (acc, i) => {
-          val d = graft.core.VectorExprs.sq_dist(vecCol, element_at(centsLit, i + 1))
-          when(d < acc("d"), struct(d.as("d"), i.as("i"))).otherwise(acc)
-        }
-      )("i")
+    val cents =
+      if (fitIters > 0) fitCentroids(embeddings, centroids, fitIters)
+      else sampleCentroids(embeddings, centroids)
 
     val assigned = embeddings.select(col("vec_id"), v.as("vec"))
-      .withColumn("bucket", nearestCentroid(col("vec")))
+      .withColumn("bucket", nearestCentroid(col("vec"), cents))
 
     // buckets the query probes: nProbe nearest centroids (driver-side,
     // centroids are a dimension)

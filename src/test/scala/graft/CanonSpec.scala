@@ -101,6 +101,28 @@ class CanonSpec extends AnyFunSuite {
     assert(run(2) === run(17))
   }
 
+  test("linearized LSH kNN recall holds on a 10k-row bench-corpus sample") {
+    // Stress of the positional-window linearization at a realistic group
+    // size (~1.4k frames/inspection — the shape the sf0.1 bench runs),
+    // not just the 40-point fixture above. The measured recall is pinned
+    // in BASELINE.md §5; this floor guards future window/bits tuning.
+    val cfg = graft.corpus.CorpusGen.Config(rows = 10000, nRepos = 7, partitions = 8)
+    val frames = graft.pipeline.KgPipeline.run(
+      graft.corpus.CorpusGen.corpus(spark, cfg)).frames
+    val feat = graft.canon.SimilarityPipeline.standardize(
+      graft.canon.SimilarityPipeline.telemetryFeatures(frames))
+      .localCheckpoint(true)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = edges(KnnJoin.exactTopK(feat, 5, selfRank = true))
+    val approx = edges(KnnJoin.approxTopK(feat, 5, selfRank = true))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"approxTopK(window=8) edge recall vs exact at 10k rows: $recall%.3f")
+    // deterministic corpus + deterministic hyperplanes → measured 0.941
+    assert(recall >= 0.9, s"LSH kNN recall regressed: $recall")
+  }
+
   test("packed frame id fails loudly on out-of-range framenumbers") {
     val ok = Seq((5L, 7L)).toDF("inspection_id", "framenumber")
       .select(graft.canon.SimilarityPipeline.packedId.as("p"))
