@@ -162,7 +162,20 @@ object KnnJoin {
     */
   def approxTopK(feat: DataFrame, k: Int, tables: Int = 4, bits: Int = 8,
                  seed: Long = 42L, selfRank: Boolean = false,
-                 window: Int = 8): DataFrame = {
+                 window: Int = 8, compact: Boolean = false): DataFrame = {
+    // compact: carry the vectors through the candidate shuffle as
+    // array<float> — half the bytes on the highest-volume stream in the
+    // engine (distances still accumulate in double; ranking shifts only
+    // on 1e-7-relative near-ties). Opt-in: on a NETWORK shuffle the
+    // bytes dominate and this is the right default, but on this box's
+    // tmpfs shuffle it measured neutral-to-slightly-negative (pinned
+    // 8-core leg: 575-653 task-s float vs 541-593 double — the per-
+    // element float→double conversion costs what the bus saves), so the
+    // single-box bench keeps doubles. The full-probe oracle path
+    // (lshTopKFull) must keep compact=false to stay bit-exact against
+    // the double-arithmetic SQL oracle.
+    val featIn = if (compact)
+      feat.withColumn("vec", col("vec").cast("array<float>")) else feat
     val dims = 64 // upper bound on vec length used for plane generation
     // signature per table: sum over bits of sign(dot(vec, plane)) << bit
     def planeCoef(t: Int, bit: Int, d: Int): Double = {
@@ -186,7 +199,7 @@ object KnnJoin {
     // used by the signature), so bucket order is independent of the bits
     def orderProj(t: Int): Column =
       graft.core.VectorExprs.vec_dot(col("vec"), plane(t, bits))
-    val tagged = feat.select(
+    val tagged = featIn.select(
       col("id"), col("group"), col("vec"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), signature(t).as("sig"), orderProj(t).as("p"))): _*)).as("h"))
@@ -220,10 +233,15 @@ object KnnJoin {
     // each unordered in-window pair matches exactly one (blk) key and is
     // scored once; the explode emits both directions WITHOUT re-executing
     // the join (a second select over `scored` would replay its lineage).
-    // merge hint: AQE under-estimates the checkpointed sides — an
-    // attempted broadcast of a million-row vec side OOMs the driver
-    // (observed at 400k rows)
-    val scored = lo.join(hi.hint("merge"), Seq("group", "t", "sig", "blk"))
+    // shuffle_hash hint: stack-sampling the 4-cpu scaling leg showed the
+    // sort comparators of a merge join as the hottest executor frames —
+    // hashing skips sorting BOTH multi-hundred-MB sides. Safe at scale:
+    // the build side is partitioned on (group, t, sig, blk) whose per-key
+    // population is O(window) by construction, so no partition's hash map
+    // outgrows memory. (Broadcast stays out: AQE under-estimates the
+    // checkpointed sides and a million-row vec broadcast OOMed the driver
+    // at 400k rows — hence an explicit hint rather than Catalyst's pick.)
+    val scored = lo.join(hi.hint("shuffle_hash"), Seq("group", "t", "sig", "blk"))
       .where(col("pos_hi") - col("pos") >= 1 && col("pos_hi") - col("pos") <= window)
       .select(col("src"), col("dst"), dist(col("va"), col("vb")).as("distance"))
     val both = scored

@@ -47,6 +47,11 @@ object GraftSession {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // shuffle/spill codec. Default lz4; SPARK_GRAFT_CODEC=zstd trades
+      // CPU for fewer shuffle bytes — the right direction when the host
+      // memory bus, not the cores, is the limiter (BASELINE.md §4).
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
       // ObjectHashAggregate (typed Aggregators: top-k kNN ranker, union
       // coverage) falls back to SORT-BASED aggregation after 128 distinct
       // keys by default — with millions of src keys the ranking degraded

@@ -42,8 +42,10 @@ object SimilaritySearch {
     val qdf = feat.sparkSession.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row("__query__", 1L, query)),
       feat.schema)
+    // compact=false: the full-probe variant is hash-gated against a
+    // double-arithmetic SQL oracle — distances must stay bit-exact
     val knn = graft.canon.KnnJoin.approxTopK(feat.unionByName(qdf), k, tables, bits,
-      window = window)
+      window = window, compact = false)
     knn.where(col("src") === "__query__")
       .select(col("dst").cast("long").as("vec_id"), col("distance"))
   }

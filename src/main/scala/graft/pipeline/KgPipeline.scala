@@ -40,12 +40,18 @@ object KgPipeline {
     val ships = ShipCatalog.dim(corpus)
     val features = MentionExtractor.extract(corpus, dict)
     // frames feeds ≥4 downstream branches (HAS_FRAME, DEPICTS, nodes,
-    // phase 2) — persist so the extract scan runs once, not per branch
+    // phase 2) — materialize so the extract scan runs once, not per
+    // branch. localCheckpoint (eager), not persist: stack-sampling the
+    // scaling legs showed the columnar-cache build (compression + stats
+    // per 25-label column) among the hottest executor frames; a
+    // checkpoint stores raw rows with none of that, and as a plan LEAF it
+    // also stops the analyzer re-walking the wide extract lineage per
+    // downstream reference (the CLAUDE.md plan-size cost).
     val framesAll = MentionExtractor.frames(features, labels, ships)
     val frames = (if (frameStep > 1)
       framesAll.where(pmod(col("framenumber"), lit(frameStep)) === 0)
     else framesAll)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val triples = TripleBuilder.hasOntology(ships)
       .unionByName(TripleBuilder.hasInspection(ships))
@@ -137,18 +143,34 @@ object KgPipeline {
     // hash on (pred, subj) so every writer task carries work — a plain
     // repartition(pred) would funnel each predicate through one task;
     // sortWithinPartitions leads with pred so the partitionBy writer
-    // keeps a single open file per task
-    result.triples
-      .repartition(parts, col("pred"), col("subj"))
-      .sortWithinPartitions("pred", "subj", "obj")
-      .write.mode("overwrite").partitionBy("pred").parquet(s"$outDir/triples")
-    result.frames
-      .repartition(parts, col("inspection_id"), col("frame_id"))
-      .sortWithinPartitions("inspection_id", "frame_id")
-      .write.mode("overwrite").parquet(s"$outDir/frames")
-    result.nodes
-      .repartition(parts, col("label"), col("id"))
-      .sortWithinPartitions("label", "id")
-      .write.mode("overwrite").partitionBy("label").parquet(s"$outDir/nodes")
+    // keeps a single open file per task.
+    // The three writes are INDEPENDENT jobs submitted concurrently: the
+    // driver-serial parts (Catalyst optimization of the wide triples
+    // union, output-committer listing/renames) of one overlap the
+    // executor work of the others — ~5 s of the parallelism-independent
+    // serial constant that was depressing the N→4N scaling ratio.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      Future {
+        result.triples
+          .repartition(parts, col("pred"), col("subj"))
+          .sortWithinPartitions("pred", "subj", "obj")
+          .write.mode("overwrite").partitionBy("pred").parquet(s"$outDir/triples")
+      },
+      Future {
+        result.frames
+          .repartition(parts, col("inspection_id"), col("frame_id"))
+          .sortWithinPartitions("inspection_id", "frame_id")
+          .write.mode("overwrite").parquet(s"$outDir/frames")
+      },
+      Future {
+        result.nodes
+          .repartition(parts, col("label"), col("id"))
+          .sortWithinPartitions("label", "id")
+          .write.mode("overwrite").partitionBy("label").parquet(s"$outDir/nodes")
+      })
+    writes.foreach(Await.result(_, Duration.Inf))
   }
 }
