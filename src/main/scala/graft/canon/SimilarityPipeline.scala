@@ -44,11 +44,12 @@ object SimilarityPipeline {
       .select(col("group"),
         transform(col("st"), s => s("mu")).as("mu"),
         transform(col("st"), s => s("sigma")).as("sigma"))
+    // native codegen'd z-score (bit-identical to the transform() HOF it
+    // replaced, which evaluated an interpreted lambda per element —
+    // graft.core.VectorExprs.ZScore scaladoc)
     feat.join(stats, Seq("group"))
-      .withColumn("vec", transform(col("vec"), (v, i) =>
-        (v - element_at(col("mu"), i + 1)) /
-          when(element_at(col("sigma"), i + 1) > 1e-12,
-            element_at(col("sigma"), i + 1)).otherwise(1.0)))
+      .withColumn("vec",
+        graft.core.VectorExprs.vec_zscore(col("vec"), col("mu"), col("sigma")))
       .select("id", "group", "vec")
   }
 

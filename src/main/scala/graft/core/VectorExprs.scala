@@ -112,9 +112,69 @@ object VectorExprs {
       copy(left = l, right = r)
   }
 
+  /** Per-element z-score: out_i = (v_i − mu_i) / (sigma_i > 1e-12 ?
+    * sigma_i : 1). Replaces the `transform(vec, (v, i) => ...)` HOF in
+    * SimilarityPipeline.standardize: a higher-order function evaluates an
+    * interpreted lambda per ELEMENT and allocates boxed doubles +
+    * GenericArrayData per row — on the scaling legs' 1.6M standardize
+    * rows that interpreter showed up in executor stack samples. Same
+    * arithmetic, same element order: bit-identical output.
+    */
+  case class ZScore(first: Expression, second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isVec(first.dataType) && isVec(second.dataType) && isVec(third.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"vec_zscore expects 3 array<double|float>, got " +
+          s"${first.dataType} / ${second.dataType} / ${third.dataType}")
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_zscore"
+
+    override def nullSafeEval(v: Any, m: Any, s: Any): Any = {
+      val xv = v.asInstanceOf[ArrayData]
+      val xm = m.asInstanceOf[ArrayData]
+      val xs = s.asInstanceOf[ArrayData]
+      val n = xv.numElements()
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val sd = get(third, xs, i)
+        out(i) = (get(first, xv, i) - get(second, xm, i)) / (if (sd > 1e-12) sd else 1.0)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, m, s) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val out = ctx.freshName("out"); val sd = ctx.freshName("sd")
+        s"""
+           |int $n = $v.numElements();
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $sd = ${getGen(third, s, i)};
+           |  $out[$i] = (${getGen(first, v, i)} - ${getGen(second, m, i)})
+           |    / ($sd > 1e-12 ? $sd : 1.0);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression) =
+      copy(first = f, second = s, third = t)
+  }
+
   def sq_dist(a: Column, b: Column): Column =
     Bridge.column(SqDist(Bridge.expression(a), Bridge.expression(b)))
 
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(Dot(Bridge.expression(a), Bridge.expression(b)))
+
+  def vec_zscore(v: Column, mu: Column, sigma: Column): Column =
+    Bridge.column(ZScore(Bridge.expression(v), Bridge.expression(mu),
+      Bridge.expression(sigma)))
 }
