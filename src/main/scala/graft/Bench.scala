@@ -78,10 +78,12 @@ object Bench {
       // transparency. Override: SPARK_GRAFT_SCALE_A.
       val coresA = sys.env.getOrElse("SPARK_GRAFT_SCALE_A", "1").toInt
       val coresB = math.min(coresA * 4, cpus) // N and 4N
-      // 2× the headline rows: the high-core run must stay well past the
-      // ~30 s fixed-overhead floor or host noise dominates the ratio.
+      // 1.5× the headline rows: the 4-cpu leg must stay well past the
+      // ~30 s fixed-overhead floor (it runs ~70-80 s here; the 1-cpu leg
+      // ~210 s) while keeping 4 paired reps inside a ~30-minute scaling
+      // phase.
       val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS",
-        (benchRows * 2).toString).toLong
+        (benchRows * 3 / 2).toString).toLong
       val scaleRepos = math.max((scaleRows / 1500).toInt, 1)
       // PAIRED reps, fresh JVM session per run: identical solo runs on
       // this shared VM spread by ±20% on multi-minute timescales
