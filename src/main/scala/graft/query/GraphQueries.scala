@@ -150,25 +150,26 @@ object GraphQueries {
   }
 
   /** Transitive closure of the HAS tree (2 levels in practice) —
-    * iterative self-join; powers B11's variable-length path.
+    * closure SQUARING (closure ∘ closure each round), so a tree of depth
+    * d converges in O(log d) driver round-trips instead of one per
+    * level: a deep ontology costs 5 rounds for depth 32, not 32.
+    * Powers B11's variable-length path.
     */
   def ontologyClosure(triples: DataFrame): DataFrame = {
-    val has = triples.where(col("pred") === "HAS")
+    var closure = triples.where(col("pred") === "HAS")
       .select(col("subj").as("anc"), col("obj").as("desc"))
-    var closure = has
-    var frontier = has
+      .localCheckpoint(eager = true)
     var n = closure.count()
     var grown = true
     while (grown) {
       // rename to disambiguate the self-join lineage
-      val step = frontier.select(col("anc").as("f_anc"), col("desc").as("f_desc"))
-      val hop = has.select(col("anc").as("h_anc"), col("desc").as("h_desc"))
+      val step = closure.select(col("anc").as("f_anc"), col("desc").as("f_desc"))
+      val hop = closure.select(col("anc").as("h_anc"), col("desc").as("h_desc"))
       val next = step.join(hop, col("f_desc") === col("h_anc"))
         .select(col("f_anc").as("anc"), col("h_desc").as("desc"))
       closure = closure.unionByName(next).distinct().localCheckpoint(eager = true)
       val n2 = closure.count()
       grown = n2 > n
-      frontier = next
       n = n2
     }
     closure
