@@ -31,7 +31,8 @@ object Bench {
     * level with the longer wall).
     */
   def pipelineRun(spark: SparkSession, rows: Long, nRepos: Int, cores: Int,
-                  outDir: String, warmupRows: Long = 0L): (Double, Long) = {
+                  outDir: String, warmupRows: Long = 0L,
+                  verifyReadBack: Boolean = false): (Double, Long) = {
     implicit val sp: SparkSession = spark
     if (warmupRows > 0) {
       val warm = CorpusGen.corpus(spark,
@@ -54,7 +55,15 @@ object Bench {
           org.apache.spark.sql.functions.lit(1)).as("n"))),
       outDir)
     val n = obs.get("n").asInstanceOf[Long]
-    ((System.nanoTime() - t0) / 1e9, n)
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (verifyReadBack) {
+      // the Observation counts upstream of the file commit; the headline
+      // (non-scaling) run keeps one untimed read-back so a commit or
+      // corruption failure can't yield a plausible triples count
+      val back = spark.read.parquet(s"$outDir/triples").count()
+      require(back == n, s"read-back triple count $back != observed $n")
+    }
+    (sec, n)
   }
 
   def main(args: Array[String]): Unit = {
@@ -133,9 +142,15 @@ object Bench {
         val proc = pb.start()
         val out = new String(proc.getInputStream.readAllBytes())
         val rc = proc.waitFor()
-        val line = out.linesIterator.filter(_.startsWith("SCALELEG")).toSeq.lastOption
+        // full-line regex: a line merely STARTING with SCALELEG (diag
+        // output, executor log) must not reach a destructuring MatchError
+        // that bypasses the require's diagnostic
+        val LegLine = """^SCALELEG (\S+) (\S+)$""".r
+        val line = out.linesIterator.collect {
+          case LegLine(sec, n) => (sec, n)
+        }.toSeq.lastOption
         require(rc == 0 && line.isDefined, s"scale leg failed (rc=$rc): ${out.takeRight(500)}")
-        val Array(_, sec, n) = line.get.split(" ")
+        val (sec, n) = line.get
         (sec.toDouble, n.toLong)
       }
       val pairs = (1 to reps).map { _ => (timed(coresA), timed(coresB)) }
@@ -146,13 +161,21 @@ object Bench {
       // BASELINE.md §5 protocol) AND the full per-rep band, so the record
       // shows the host-noise spread the selection was made over
       val ((secA, nA), (secB, nB)) = pairs.maxBy(effOf)
-      val band = pairs.map(p => f"${effOf(p)}%.3f").mkString("[", ",", "]")
+      val effs = pairs.map(effOf).sorted
+      val band = effs.map(e => f"$e%.3f").mkString("[", ",", "]")
+      // median of the per-rep band as a first-class field: `efficiency`
+      // is the least-interfered pair (max of noisy draws — overstates the
+      // center), so the central tendency must travel with it
+      val median =
+        if (effs.size % 2 == 1) effs(effs.size / 2)
+        else (effs(effs.size / 2 - 1) + effs(effs.size / 2)) / 2
       val tpsA = nA / secA; val tpsB = nB / secB
       // efficiency = throughput_B / (coreRatio × throughput_A), BASELINE.md §3
       val eff = tpsB / ((coresB.toDouble / coresA) * tpsA)
       scalingJson = f""","scaling":{"cores_a":$coresA,"sec_a":$secA%.2f,"tps_a":$tpsA%.0f,""" +
         f""""cores_b":$coresB,"sec_b":$secB%.2f,"tps_b":$tpsB%.0f,"efficiency":$eff%.3f,""" +
-        f""""eff_band":$band,"aqe":${sys.env.getOrElse("SPARK_GRAFT_SCALE_AQE", "0") == "1"},"pinned":$pin}"""
+        f""""eff_median":$median%.3f,"eff_band":$band,""" +
+        f""""aqe":${sys.env.getOrElse("SPARK_GRAFT_SCALE_AQE", "0") == "1"},"pinned":$pin}"""
     }
 
     // --- 2. headline: end-to-end pipeline triples/sec at full cores,
@@ -160,11 +183,23 @@ object Bench {
     // through 50 operator queries measures its own heap history, not
     // the pipeline ---
     val doPipeline = sys.env.getOrElse("SPARK_GRAFT_PIPELINE", "1") == "1"
+    // rep protocol for the headline, mirroring the scaling pairs' honesty:
+    // single-sample headlines on this shared VM spread ±20%, so one run
+    // can't distinguish noise from regression. Best + all runs recorded.
+    val headlineReps = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_REPS", "2").toInt
     var spark = session(cpus)
+    val headlineRuns: Seq[(Double, Long)] =
+      if (doPipeline) (1 to headlineReps).map { _ =>
+        pipelineRun(spark, benchRows, nRepos, cpus, "/tmp/graft_bench",
+          verifyReadBack = true)
+      } else Seq.empty
     val (pipeSec, nTriples) =
-      if (doPipeline) pipelineRun(spark, benchRows, nRepos, cpus, "/tmp/graft_bench")
-      else (0.0, 0L)
+      headlineRuns.minByOption(_._1).getOrElse((0.0, 0L))
     val tps = if (pipeSec > 0) nTriples / pipeSec else 0.0
+    val headlineJson =
+      if (headlineRuns.isEmpty) ""
+      else headlineRuns.map { case (s, n) => f"${n / s}%.0f" }
+        .mkString(""","headline_runs_tps":[""", ",", "]")
 
     // --- 3. operator queries on the driver's tables ---
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
@@ -190,7 +225,7 @@ object Bench {
     val total = results.collect { case (_, Right(v)) => v }.sum + pipeSec
     val json =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir",""" +
-        f""""pipeline_rows":$benchRows,"triples":$nTriples,"triples_per_sec":$tps%.0f$scalingJson}"""
+        f""""pipeline_rows":$benchRows,"triples":$nTriples,"triples_per_sec":$tps%.0f$headlineJson$scalingJson}"""
     // The committed BENCH.json is the canonical full-bench record: only a
     // FULL run (scaling + pipeline + complete query sweep, no errors) may
     // overwrite it; partial dev runs land in /tmp so an ONLY=q1 iteration

@@ -526,8 +526,14 @@ object SparkEntry {
     "ngram_jaccard" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val docs = t(s, dir, "documents")
-      val sigs = Dedup.minhashSignatures(docs)
-      Dedup.ngramJaccard(docs, Dedup.minhashCandidates(sigs), n = 3)
+      // deterministic exact candidate set (all pairs among doc_id < 200,
+      // a < b — fuzzy_link precedent) so the Jaccard arithmetic is
+      // oracle-checkable end to end; the hash-dependent minhash candidate
+      // variant of the same operator stays in minhash_pairs (rows-only)
+      val ids = docs.where(col("doc_id") < 200).select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("a"))
+        .join(ids.select(col("doc_id").as("b")), col("a") < col("b"))
+      Dedup.ngramJaccard(docs, pairs, n = 3).orderBy("a", "b")
     }),
     "embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal; -1 returns all bucketed
@@ -776,6 +782,18 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         | WHERE cast(concat('0x', substr(md5(text), 1, 8)) as bigint) % 1000000 < 300000
         | ORDER BY doc_id""".stripMargin,
+    // grams are murmur-hashed on the Spark side, strings here: set SIZES
+    // agree (the deterministic sf0.01 corpus has no colliding grams —
+    // verified; a collision would fail the hash gate loudly, not silently)
+    "ngram_jaccard" ->
+      """WITH g AS (SELECT doc_id,
+        |   list_distinct(list_transform(
+        |     generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |     i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS grams
+        |  FROM documents WHERE doc_id < 200)
+        | SELECT a.doc_id AS a, b.doc_id AS b,
+        |  len(list_intersect(a.grams, b.grams)) / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        | FROM g a JOIN g b ON a.doc_id < b.doc_id ORDER BY a, b""".stripMargin,
     "cc_sizes" ->
       """WITH o AS (SELECT doc_id, lang,
         |   CASE WHEN lag(lang) OVER w = lang AND lag(doc_id) OVER w = doc_id - 1

@@ -136,7 +136,10 @@ object VectorExprs {
       val xv = v.asInstanceOf[ArrayData]
       val xm = m.asInstanceOf[ArrayData]
       val xs = s.asInstanceOf[ArrayData]
-      val n = xv.numElements()
+      // min-length like SqDist/Dot: ragged mu/sigma must not read past
+      // their end (UnsafeArrayData.getDouble would return silent garbage)
+      val n = math.min(xv.numElements(),
+        math.min(xm.numElements(), xs.numElements()))
       val out = new Array[Double](n)
       var i = 0
       while (i < n) {
@@ -152,7 +155,8 @@ object VectorExprs {
         val i = ctx.freshName("i"); val n = ctx.freshName("n")
         val out = ctx.freshName("out"); val sd = ctx.freshName("sd")
         s"""
-           |int $n = $v.numElements();
+           |int $n = java.lang.Math.min($v.numElements(),
+           |  java.lang.Math.min($m.numElements(), $s.numElements()));
            |double[] $out = new double[$n];
            |for (int $i = 0; $i < $n; $i++) {
            |  double $sd = ${getGen(third, s, i)};
