@@ -557,6 +557,18 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.decodeFeatures(Multimodal.syntheticMedia(s, 1000)), step = 30)
     }),
+    // REAL image decode (javax.imageio over real PNG bytes): the oracle
+    // never sees the images — it recomputes dims + mean luma from the
+    // closed-form pixel pattern, so a hash match proves the encoder →
+    // bytes → decoder → raster arithmetic round-trips exactly
+    "multimodal_image_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeFeatures(Multimodal.syntheticMedia(s, 1000))
+        .where(col("kind") === "image")
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("meanLuma"), 6).as("mean_luma"))
+        .orderBy("media_id")
+    }),
     "fuzzy_link" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -782,6 +794,19 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         | WHERE cast(concat('0x', substr(md5(text), 1, 8)) as bigint) % 1000000 < 300000
         | ORDER BY doc_id""".stripMargin,
+    // mirrors Multimodal.syntheticMedia's pixel formula analytically:
+    // pixel(x,y) = (x*7 + y*13 + id) % 256, integer sum then the same
+    // double division chain as decodeImage — the engine decodes real PNG
+    // bytes, the oracle never touches an image
+    "multimodal_image_decode" ->
+      """WITH d AS (SELECT i, cast(8 + i % 16 as int) AS width,
+        |    cast(8 + (i // 16) % 16 as int) AS height
+        |  FROM generate_series(0, 999) t(i) WHERE i % 3 = 0)
+        | SELECT cast(i as bigint) AS media_id, width, height,
+        |  round(cast(list_sum(list_transform(generate_series(0, width * height - 1),
+        |    p -> ((p % width) * 7 + (p // width) * 13 + i) % 256)) as double)
+        |    / (width * height) / 255.0, 6) AS mean_luma
+        | FROM d ORDER BY media_id""".stripMargin,
     // grams are murmur-hashed on the Spark side, strings here: set SIZES
     // agree (the deterministic sf0.01 corpus has no colliding grams —
     // verified; a collision would fail the hash gate loudly, not silently)

@@ -5,16 +5,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in batched per-partition
   * passes (the Scala analog of `mapInPandas` batches).
   *
-  * The decode step is STUBBED (no image/audio codecs in this
-  * container): [[fakeDecode]] is a clearly-marked deterministic fake
-  * producing plausible (width, height, n_frames) from the byte stream.
-  * Everything around it — schema, batch shape, partitioning, feature
-  * extraction over decoded structs — is real and tested, so swapping
-  * in a real codec is a one-function change.
+  * The IMAGE path is real: payloads are PNG bytes decoded with the
+  * JDK's `javax.imageio` (no native deps), mirroring the reference's
+  * frame decode (pipeline/video_input/inspection_video_input.py:118-138)
+  * at the pixel level — width/height/mean-luma come from the decoded
+  * raster. Audio/video decode remains STUBBED ([[fakeDecode]], clearly
+  * marked — no audio/video codecs ship with the JDK or this container);
+  * the dataflow around the stub (schema, batch shape, partitioning,
+  * frame sampling) is real and tested either way.
   */
 object Multimodal {
 
@@ -31,8 +37,30 @@ object Multimodal {
   final case class Decoded(media_id: Long, kind: String, width: Int, height: Int,
                            nFrames: Int, meanLuma: Double)
 
-  /** STUB decoder — deterministic fake keyed on payload bytes. A real
-    * implementation would decode with a codec lib; the dataflow
+  /** Real image decode: PNG/BMP/GIF bytes → (width, height, mean luma).
+    * Mean luma sums the first raster band as exact integers before one
+    * double division chain (sum / pixels / 255) so the value is
+    * reproducible bit-for-bit regardless of pixel visit order.
+    */
+  def decodeImage(payload: Array[Byte]): Decoded = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    Decoded(0L, "image", w, h, 1, sum.toDouble / (w * h) / 255.0)
+  }
+
+  /** STUB decoder for audio/video ONLY — deterministic fake keyed on
+    * payload bytes (no audio/video codec in the JDK or this container).
+    * A real implementation would decode with a codec lib; the dataflow
     * (batched per-partition map, fixed output schema) is the real part.
     */
   def fakeDecode(payload: Array[Byte], kind: String): Decoded = {
@@ -46,29 +74,65 @@ object Multimodal {
   }
 
   /** Batched decode + feature extraction (mapPartitions = the batch
-    * boundary; decoder state initialized once per partition).
+    * boundary; decoder state initialized once per partition). Image rows
+    * go through the real `javax.imageio` decoder; audio/video through
+    * the marked stub.
     */
   def decodeFeatures(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder init would go here (codec contexts etc.)
+        // per-partition decoder init: ImageIO's disk cache is pure
+        // overhead for in-memory byte payloads on an executor
+        ImageIO.setUseCache(false)
         it.map { case (id, kind, payload) =>
-          fakeDecode(payload, kind).copy(media_id = id)
+          val d = if (kind == "image") decodeImage(payload)
+                  else fakeDecode(payload, kind)
+          d.copy(media_id = id)
         }
       }
       .toDF()
   }
 
-  /** Deterministic synthetic media table for tests/bench. */
+  /** Deterministic gray PNG: pixel(x, y) = (x*7 + y*13 + seed) % 256.
+    * The mean luma of that pattern is closed-form from (w, h, seed), so
+    * a decode over the REAL bytes is checkable by an engine that never
+    * sees the image.
+    */
+  def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((x * 7 + y * 13 + seed) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic media table for tests/bench. Kind cycles by
+    * media_id (id % 3 → image/audio/video) so which rows are images is a
+    * plain predicate; image payloads are REAL PNGs with formula-derived
+    * dims (w = 8 + id%16, h = 8 + (id/16)%16) and pixel pattern
+    * [[syntheticPng]]; audio/video payloads stay opaque random bytes.
+    */
   def syntheticMedia(spark: SparkSession, rows: Long, partitions: Int = 8): DataFrame = {
     import spark.implicits._
     val kinds = Array("image", "audio", "video")
     spark.range(0, rows, 1, partitions).map { id =>
       val rng = new Rng(Rng.mix(0x11ed1a, id))
-      val kind = kinds(rng.nextInt(3))
-      val payload = Array.fill(16 + rng.nextInt(48))(rng.nextLong().toByte)
+      val kind = kinds((id % 3).toInt)
+      val payload =
+        if (kind == "image")
+          syntheticPng(8 + (id % 16).toInt, 8 + ((id / 16) % 16).toInt, id)
+        else Array.fill(16 + rng.nextInt(48))(rng.nextLong().toByte)
       (id, kind, payload, rng.nextInt(2) == 0)
     }.toDF("media_id", "kind", "payload", "flag")
   }

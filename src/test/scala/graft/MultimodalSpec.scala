@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real image decode (javax.imageio) + the multimodal batch plumbing. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+
+  test("decodeImage reads real PNG bytes: exact dims and mean luma") {
+    val w = 5; val h = 3; val seed = 42L
+    val d = Multimodal.decodeImage(Multimodal.syntheticPng(w, h, seed))
+    assert(d.width === w)
+    assert(d.height === h)
+    // closed-form mean of pixel(x,y) = (x*7 + y*13 + seed) % 256
+    val sum = (for (y <- 0 until h; x <- 0 until w)
+      yield (x * 7 + y * 13 + seed) % 256).sum
+    assert(d.meanLuma === sum.toDouble / (w * h) / 255.0)
+    assert(d.nFrames === 1)
+  }
+
+  test("decodeImage is exact on a solid-color image") {
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4) img.getRaster.setSample(x, y, 0, 128)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val d = Multimodal.decodeImage(out.toByteArray)
+    assert(d.width === 4 && d.height === 4)
+    assert(d.meanLuma === 128.0 / 255.0)
+  }
+
+  test("decodeFeatures routes image rows through the real decoder") {
+    val decoded = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, 60))
+    val imgs = decoded.where(col("kind") === "image")
+      .select("media_id", "width", "height").collect()
+    assert(imgs.length === 20) // ids ≡ 0 (mod 3)
+    imgs.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 8 + (id % 16).toInt)
+      assert(r.getInt(2) === 8 + ((id / 16) % 16).toInt)
+    }
+    // audio/video rows still flow through the marked stub
+    assert(decoded.where(col("kind") =!= "image").count() === 40)
+  }
+
+  test("sampleFrames explodes every step-th frame index of video rows") {
+    val decoded = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, 30))
+    val frames = Multimodal.sampleFrames(decoded, step = 30)
+    val perVideo = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = decoded.where(col("kind") === "video")
+      .select("media_id", "nFrames").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1) - 1) / 30 + 1).toLong).toMap
+    assert(perVideo === expected)
+  }
+}
