@@ -661,12 +661,15 @@ object SparkEntry {
     }),
     "pca_reduce" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      // (id, dim, value) rows — scalar projection for the driver comparer
-      graft.canon.Reduce.pca(
+      // deterministic PCA twin (sign-canonicalized, integer-sum fit) —
+      // (id, dim, value) rows, hash-checkable against the DuckDB mirror
+      // of the same arithmetic; Reduce.pca stays the MLlib variant
+      graft.canon.Reduce.pcaDet(
         t(s, dir, "embeddings").select(col("vec_id").cast("string").as("id"),
           col("label").cast("long").as("group"),
           expr("transform(embedding, x -> cast(x as double))").as("vec")), 8)
         .select(col("id"), posexplode(col("vec")).as(Seq("dim", "value")))
+        .select(col("id"), col("dim"), round(col("value"), 6).as("value"))
         .orderBy("id", "dim")
     })
   )
@@ -878,6 +881,7 @@ object SparkEntry {
         | SELECT cast(a as bigint) AS id, cast(min(b) as bigint) AS component
         | FROM reach GROUP BY a ORDER BY id""".stripMargin,
     "fuzzy_link" -> fuzzyLinkOracleSql,
+    "pca_reduce" -> pcaReduceOracleSql,
     // element-order list_sum mirrors sq_dist's index-order accumulation;
     // 1.25*1.25 is exact in binary on both engines
     "q26_dbscan" ->
@@ -1117,6 +1121,72 @@ object SparkEntry {
        | SELECT cast(mention_id as bigint) AS mention_id, entity_id,
        |   round(score, 6) AS score, 'minhash_lsh' AS method
        | FROM best WHERE rn = 1 ORDER BY mention_id""".stripMargin
+  }
+
+  /** pca_reduce oracle: mirrors Reduce.pcaDet operation-for-operation.
+    * Integer-quantized sums make mean/std/covariance bit-identical
+    * across engines (exact, summation-order-free); the fixed-iteration
+    * power method + deflation then runs in a recursive CTE with the
+    * same index-order float arithmetic (list_reduce folds left-to-right
+    * like the Scala loops), so the sign-canonicalized projections agree
+    * exactly — not just to a tolerance.
+    */
+  private def pcaReduceOracleSql: String = {
+    val D = 64; val K = 8; val T = 100
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_transform(generate_series(1, $D), dj -> $a[dj] * $b[dj]), (ax, ay) -> ax + ay)"
+    val muExpr = s"cast(s1 as double) / 1e7 / n"
+    s"""WITH RECURSIVE
+       | raw AS (SELECT cast(vec_id as varchar) AS id, cast(embedding as double[]) AS v FROM embeddings),
+       | cnt AS (SELECT cast(count(*) as bigint) AS n FROM raw),
+       | rq AS (SELECT id, list_transform(v, x -> cast(round(x * 1e7, 0) as bigint)) AS r FROM raw),
+       | st AS (SELECT j, sum(r[j]) AS s1, sum(r[j] * r[j]) AS s2
+       |        FROM rq CROSS JOIN generate_series(1, $D) t(j) GROUP BY j),
+       | stm AS (SELECT j, $muExpr AS mu,
+       |    sqrt(greatest((cast(s2 as double) / 1e14 - ($muExpr) * ($muExpr) * n) / (n - 1), 0.0)) AS sd
+       |  FROM st, cnt),
+       | stl AS (SELECT list(mu ORDER BY j) AS mus,
+       |         list(CASE WHEN sd > 1e-12 THEN sd ELSE 1.0 END ORDER BY j) AS sds FROM stm),
+       | svt AS (SELECT id, list_transform(generate_series(1, $D), j -> (v[j] - mus[j]) / sds[j]) AS s
+       |         FROM raw, stl),
+       | qv AS (SELECT id, list_transform(s, x -> cast(round(x * 1e6, 0) as bigint)) AS q FROM svt),
+       | ex AS (SELECT id, j, q[j] AS x FROM qv CROSS JOIN generate_series(1, $D) t(j)),
+       | cv AS (SELECT a.j AS i, b.j AS j2, cast(sum(a.x * b.x) as double) / 1e12 / (n - 1) AS val
+       |        FROM ex a JOIN ex b USING (id), cnt GROUP BY a.j, b.j, n),
+       | cm AS (SELECT list(rl ORDER BY i) AS m FROM
+       |         (SELECT i, list(val ORDER BY j2) AS rl FROM cv GROUP BY i)),
+       | it(comp, iter, m, v) AS (
+       |   SELECT 1, 0, (SELECT m FROM cm),
+       |     (SELECT list_transform(r0, x -> x / sqrt(${dot("r0", "r0")})) FROM
+       |       (SELECT list_transform(generate_series(1, $D),
+       |          j -> cast((j * 2654435761 + 97) % 1000 + 1 as double)) AS r0))
+       |   UNION ALL
+       |   SELECT CASE WHEN iter < $T THEN comp ELSE comp + 1 END,
+       |          CASE WHEN iter < $T THEN iter + 1 ELSE 0 END,
+       |          CASE WHEN iter < $T THEN m ELSE
+       |            list_transform(generate_series(1, $D), di ->
+       |              list_transform(generate_series(1, $D), dj2 -> m[di][dj2] - lam * v[di] * v[dj2])) END,
+       |          CASE WHEN iter < $T THEN list_transform(w, x -> x / wn)
+       |               ELSE list_transform(r0, x -> x / rn0) END
+       |   FROM (
+       |     SELECT comp, iter, m, v, w, r0,
+       |            sqrt(${dot("w", "w")}) AS wn, ${dot("v", "w")} AS lam,
+       |            sqrt(${dot("r0", "r0")}) AS rn0
+       |     FROM (
+       |       SELECT comp, iter, m, v,
+       |         list_transform(m, mr -> ${dot("mr", "v")}) AS w,
+       |         list_transform(generate_series(1, $D),
+       |           j -> cast((j * 2654435761 + (comp + 1) * 97) % 1000 + 1 as double)) AS r0
+       |       FROM it WHERE iter < $T OR comp < $K) s0) s1),
+       | comps AS (SELECT comp, v FROM it WHERE iter = $T),
+       | canon AS (SELECT comp,
+       |    CASE WHEN v[list_position(list_transform(v, x -> abs(x)),
+       |                list_max(list_transform(v, x -> abs(x))))] < 0
+       |         THEN list_transform(v, x -> -x) ELSE v END AS v
+       |   FROM comps)
+       | SELECT s.id, cast(c.comp - 1 as int) AS dim,
+       |   round(${dot("s.s", "c.v")}, 6) AS value
+       | FROM svt s CROSS JOIN canon c ORDER BY id, dim""".stripMargin
   }
 
   private def kgPartRollupOracleSql: String = {

@@ -133,4 +133,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(row.getSeq[Double](2).length === 2)
     assert(red.count() === 200)
   }
+
+  test("pcaDet agrees with MLlib PCA on the dominant component (up to sign)") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 200).map { i =>
+      val t = i.toDouble / 10
+      (s"p$i", 1L, Array(t + rnd.nextGaussian() * 0.01,
+        2 * t + rnd.nextGaussian() * 0.01, rnd.nextGaussian() * 0.01))
+    }.toDF("id", "group", "vec")
+    def comp0(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.collect().map(r => r.getString(0) -> r.getSeq[Double](2).head).toMap
+    val a = comp0(Reduce.pcaDet(pts, 2))
+    val b = comp0(Reduce.pca(pts, 2))
+    val keys = a.keys.toSeq
+    val (xs, ys) = (keys.map(a), keys.map(b))
+    val corr = {
+      val n = keys.size
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cov = keys.indices.map(i => (xs(i) - mx) * (ys(i) - my)).sum
+      val (vx, vy) = (xs.map(x => (x - mx) * (x - mx)).sum,
+        ys.map(y => (y - my) * (y - my)).sum)
+      cov / math.sqrt(vx * vy)
+    }
+    assert(math.abs(corr) > 0.999)
+  }
+
+  test("pcaDet is partition-invariant bit-for-bit (integer-sum fit)") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 120).map { i =>
+      (s"p$i", 1L, Array.fill(6)(rnd.nextGaussian()))
+    }.toDF("id", "group", "vec")
+    def vals(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Double]] =
+      df.collect().map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+    val one = vals(Reduce.pcaDet(pts.repartition(1), 3))
+    val many = vals(Reduce.pcaDet(pts.repartition(7), 3))
+    assert(one === many) // exact equality, no tolerance
+  }
 }
