@@ -644,6 +644,38 @@ object SparkEntry {
       s.sql("SELECT user_id, count(*) AS n_sessions FROM graft_sessions_q " +
         "GROUP BY 1 ORDER BY 1")
     }),
+    // streaming LSH near-dup candidates (first-seen bucket anchors in
+    // keyed state); single-batch source → pair set == batch
+    // minhashCandidates(maxBucket = 1), proven by StreamingSpec.
+    // Rows-only here: bucket keys are engine-internal hashes (the exact
+    // Jaccard arithmetic is hash-proven separately by ngram_jaccard)
+    "streaming_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sneardup_q").toString
+      docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(docs.schema).parquet(tmp)
+      val q = graft.streaming.StreamingIngest.neardupStream(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_sneardup_q").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.sql("SELECT DISTINCT a, b FROM graft_sneardup_q ORDER BY a, b")
+    }),
+    // the web-scale grid-DBSCAN path (ε-cell bucketing + contracted CC
+    // over the CELL graph) timed in the sweep next to the exact entries
+    // (kg_clusters, q26_dbscan), so the plan that runs at 100× is the
+    // one being benched per round. Emits the full assignment (noise
+    // included) — rows-only by design: grid semantics approximate the
+    // exact ε-join, whose full semantics q26_dbscan hash-proves
+    "kg_clusters_grid" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.canon.Dbscan.clusterApprox(
+        graft.canon.SimilarityPipeline.standardize(
+          graft.canon.SimilarityPipeline.telemetryFeatures(docFrames(s, dir))),
+        eps = 2.0, minPts = 5, maxDegree = 16)
+        .orderBy("id")
+    }),
     "curation_pipeline" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.ops.CurationPipeline.run(t(s, dir, "documents"),

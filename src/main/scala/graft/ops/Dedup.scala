@@ -76,13 +76,20 @@ object Dedup {
     * Buckets smaller than the cap are emitted exhaustively (recall
     * identical — DedupSpec proves it on the fixture corpus).
     */
-  def minhashCandidates(signatures: DataFrame, bands: Int = 16,
-                        maxBucket: Int = 64): DataFrame = {
-    val banded = signatures.select(
+  /** (doc_id, band, band_hash) bucket keys for banded LSH — shared by
+    * the batch candidate join and the streaming keyed-state variant so
+    * both see identical buckets.
+    */
+  def bandedBuckets(signatures: DataFrame, bands: Int): DataFrame =
+    signatures.select(
       col("doc_id"),
       posexplode(expr(s"transform(sequence(0, $bands - 1), " +
         s"b -> hash(slice(signature, b * (size(signature) div $bands) + 1, size(signature) div $bands)))"))
         .as(Seq("band", "band_hash")))
+
+  def minhashCandidates(signatures: DataFrame, bands: Int = 16,
+                        maxBucket: Int = 64): DataFrame = {
+    val banded = bandedBuckets(signatures, bands)
     val w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
     val a = banded.withColumn("rk", row_number().over(w))
       .where(col("rk") <= maxBucket)

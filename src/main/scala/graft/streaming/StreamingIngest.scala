@@ -84,4 +84,42 @@ object StreamingIngest {
       }
       .toDF("doc_id", "hash")
   }
+
+  /** Streaming NEAR-duplicate candidates with keyed LSH-bucket state:
+    * minhash signatures are banded exactly like the batch path
+    * ([[graft.ops.Dedup.bandedBuckets]]), and each (band, band_hash)
+    * bucket keeps one anchor (the first-seen minimum doc_id) in
+    * `flatMapGroupsWithState` state. Every arriving bucket member pairs
+    * with its bucket's anchor — the streaming twin of the batch
+    * hot-bucket cap at `maxBucket = 1`: pairs stay LINEAR in bucket
+    * size (one long of state per distinct bucket at 100 TB; a
+    * production deployment would add a state TTL), and duplicate GROUPS
+    * keep full recall under the transitive closure that consumes these
+    * pairs. When all data arrives in one micro-batch the emitted pair
+    * set equals `Dedup.minhashCandidates(sigs, maxBucket = 1)`
+    * (StreamingSpec proves it). Pairs may repeat across bands — the
+    * consumer distincts, as the batch path does.
+    *
+    * docs: streaming (doc_id long, text string) → (a, b) oriented pairs.
+    */
+  def neardupStream(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                    shingle: Int = 5)(implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val sigs = graft.ops.Dedup.minhashSignatures(docs, numHashes, shingle)
+    graft.ops.Dedup.bandedBuckets(sigs, bands)
+      .as[(Long, Int, Int)]
+      .groupByKey { case (_, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: (Int, Int), rows: Iterator[(Long, Int, Int)], state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray
+          val anchor =
+            if (state.exists) state.get
+            else { val a = ids.min; state.update(a); a }
+          ids.iterator.filter(_ != anchor)
+            .map(d => if (d < anchor) (d, anchor) else (anchor, d))
+      }
+      .toDF("a", "b")
+  }
 }

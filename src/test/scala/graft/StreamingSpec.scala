@@ -92,6 +92,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming === batch)
   }
 
+  test("streaming near-dup candidates == batch minhash banding (maxBucket = 1)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_b").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = StreamingIngest.neardupStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_full")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streaming = spark.sql("SELECT DISTINCT a, b FROM neardup_full")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: identical buckets, anchor = bucket minimum (rank 1)
+    val sigs = graft.ops.Dedup.minhashSignatures(docs)
+    val batch = graft.ops.Dedup.minhashCandidates(sigs, maxBucket = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streaming === batch)
+    assert(streaming.nonEmpty)
+  }
+
   test("streaming mention scorer == batch extractor totals") {
     import spark.implicits._
     val corpus = SparkEntry.docsCorpus(spark, sfDir)
