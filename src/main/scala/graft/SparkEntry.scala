@@ -548,14 +548,21 @@ object SparkEntry {
         .select(col("doc_id"), explode(col("fingerprints")).as("fingerprint"))
         .orderBy("doc_id", "fingerprint")
     }),
+    // full decode surface: real PNG decode for images, synthetic-
+    // container header parse for audio/video — every output field is
+    // independently recomputable, so the whole table is hash-checked
     "multimodal_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.decodeFeatures(Multimodal.syntheticMedia(s, 1000))
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("nFrames").as("n_frames"), round(col("meanLuma"), 6).as("mean_luma"))
+        .orderBy("media_id")
     }),
     "multimodal_frame_sample" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.sampleFrames(
         Multimodal.decodeFeatures(Multimodal.syntheticMedia(s, 1000)), step = 30)
+        .orderBy("media_id", "frame_index")
     }),
     // REAL image decode (javax.imageio over real PNG bytes): the oracle
     // never sees the images — it recomputes dims + mean luma from the
@@ -829,6 +836,31 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         | WHERE cast(concat('0x', substr(md5(text), 1, 8)) as bigint) % 1000000 < 300000
         | ORDER BY doc_id""".stripMargin,
+    // full decode table: image rows mirror the PNG pixel formula (as in
+    // multimodal_image_decode); audio/video rows mirror the synthetic
+    // container header fields the stub decoder parses
+    "multimodal_decode" ->
+      """WITH d AS (SELECT i,
+        |    CASE cast(i % 3 as int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM generate_series(0, 999) t(i))
+        | SELECT cast(i as bigint) AS media_id, kind,
+        |  cast(CASE WHEN kind = 'image' THEN 8 + i % 16 ELSE 64 + i % 256 END as int) AS width,
+        |  cast(CASE WHEN kind = 'image' THEN 8 + (i // 16) % 16 ELSE 64 + (i // 7) % 256 END as int) AS height,
+        |  cast(CASE WHEN kind = 'video' THEN 1 + i % 290 ELSE 1 END as int) AS n_frames,
+        |  round(CASE WHEN kind = 'image'
+        |    THEN cast(list_sum(list_transform(generate_series(0, (8 + i % 16) * (8 + (i // 16) % 16) - 1),
+        |      p -> ((p % (8 + i % 16)) * 7 + (p // (8 + i % 16)) * 13 + i) % 256)) as double)
+        |      / ((8 + i % 16) * (8 + (i // 16) % 16)) / 255.0
+        |    ELSE cast(i % 251 as double) / 255.0 END, 6) AS mean_luma
+        | FROM d ORDER BY media_id""".stripMargin,
+    // every 30th frame index of each video row, dims from the container
+    // header formulas
+    "multimodal_frame_sample" ->
+      """WITH v AS (SELECT i, 1 + i % 290 AS nf FROM generate_series(0, 999) t(i) WHERE i % 3 = 2)
+        | SELECT cast(i as bigint) AS media_id,
+        |  cast(unnest(generate_series(0, nf - 1, 30)) as int) AS frame_index,
+        |  cast(64 + i % 256 as int) AS width, cast(64 + (i // 7) % 256 as int) AS height
+        | FROM v ORDER BY media_id, frame_index""".stripMargin,
     // mirrors Multimodal.syntheticMedia's pixel formula analytically:
     // pixel(x,y) = (x*7 + y*13 + id) % 256, integer sum then the same
     // double division chain as decodeImage — the engine decodes real PNG

@@ -58,19 +58,32 @@ object Multimodal {
     Decoded(0L, "image", w, h, 1, sum.toDouble / (w * h) / 255.0)
   }
 
-  /** STUB decoder for audio/video ONLY — deterministic fake keyed on
-    * payload bytes (no audio/video codec in the JDK or this container).
-    * A real implementation would decode with a codec lib; the dataflow
-    * (batched per-partition map, fixed output schema) is the real part.
+  /** STUB container decoder for audio/video ONLY (no audio/video codec
+    * in the JDK or this container). The stub parses a synthetic
+    * container header — magic "GRAF", then width/height/frame-count
+    * ints and a mean-luma byte — instead of decoding real samples; a
+    * real implementation would replace this with a codec lib. The
+    * dataflow around it (batched per-partition map, fixed output
+    * schema, frame sampling) is real either way, and because the header
+    * fields are what a probe step would surface, the parse itself is
+    * oracle-checkable end to end.
     */
   def fakeDecode(payload: Array[Byte], kind: String): Decoded = {
-    var h = 0xdec0deL
-    var i = 0
-    while (i < payload.length) { h = Rng.mix(h, payload(i)); i += 1 }
-    val w = 64 + (Math.floorMod(h, 1024L)).toInt
-    val ht = 64 + (Math.floorMod(h >>> 13, 1024L)).toInt
-    val nf = if (kind == "video") 1 + (Math.floorMod(h >>> 29, 300L)).toInt else 1
-    Decoded(0L, kind, w, ht, nf, (Math.floorMod(h >>> 37, 256L)).toDouble / 255.0)
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    require(buf.getInt(0) == 0x47524146, "bad synthetic container magic") // "GRAF"
+    Decoded(0L, kind, buf.getInt(4), buf.getInt(8), buf.getInt(12),
+      (payload(16) & 0xff).toDouble / 255.0)
+  }
+
+  /** Synthetic audio/video container bytes: "GRAF" magic + header +
+    * opaque noise payload (see [[fakeDecode]]).
+    */
+  def syntheticContainer(w: Int, h: Int, nFrames: Int, lumaByte: Int,
+                         noise: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(17 + noise.length)
+    buf.putInt(0x47524146).putInt(w).putInt(h).putInt(nFrames)
+      .put(lumaByte.toByte).put(noise)
+    buf.array()
   }
 
   /** Batched decode + feature extraction (mapPartitions = the batch
@@ -121,7 +134,11 @@ object Multimodal {
     * media_id (id % 3 → image/audio/video) so which rows are images is a
     * plain predicate; image payloads are REAL PNGs with formula-derived
     * dims (w = 8 + id%16, h = 8 + (id/16)%16) and pixel pattern
-    * [[syntheticPng]]; audio/video payloads stay opaque random bytes.
+    * [[syntheticPng]]; audio/video payloads are [[syntheticContainer]]
+    * bytes whose header fields are formula-derived from media_id
+    * (w = 64 + id%256, h = 64 + (id/7)%256, video nFrames =
+    * 1 + id%290, luma byte = id%251) so every decode output is
+    * independently recomputable.
     */
   def syntheticMedia(spark: SparkSession, rows: Long, partitions: Int = 8): DataFrame = {
     import spark.implicits._
@@ -132,7 +149,11 @@ object Multimodal {
       val payload =
         if (kind == "image")
           syntheticPng(8 + (id % 16).toInt, 8 + ((id / 16) % 16).toInt, id)
-        else Array.fill(16 + rng.nextInt(48))(rng.nextLong().toByte)
+        else syntheticContainer(
+          64 + (id % 256).toInt, 64 + ((id / 7) % 256).toInt,
+          if (kind == "video") 1 + (id % 290).toInt else 1,
+          (id % 251).toInt,
+          Array.fill(16 + rng.nextInt(48))(rng.nextLong().toByte))
       (id, kind, payload, rng.nextInt(2) == 0)
     }.toDF("media_id", "kind", "payload", "flag")
   }

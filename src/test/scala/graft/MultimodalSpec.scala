@@ -31,6 +31,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.meanLuma === 128.0 / 255.0)
   }
 
+  test("synthetic container header round-trips through the stub decoder") {
+    val payload = Multimodal.syntheticContainer(320, 240, 77, 129,
+      Array[Byte](1, 2, 3))
+    val d = Multimodal.fakeDecode(payload, "video")
+    assert(d.width === 320 && d.height === 240 && d.nFrames === 77)
+    assert(d.meanLuma === 129.0 / 255.0)
+    // corrupted magic must fail loudly, not decode garbage
+    val bad = payload.clone(); bad(0) = 0
+    assertThrows[IllegalArgumentException](Multimodal.fakeDecode(bad, "video"))
+  }
+
   test("decodeFeatures routes image rows through the real decoder") {
     val decoded = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, 60))
     val imgs = decoded.where(col("kind") === "image")
