@@ -698,6 +698,32 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("tokens"), col("quality"))
         .orderBy("doc_id")
     }),
+    // benchmark decontamination: distinct 8-grams vs a broadcast
+    // benchmark set (docs ≡ 0 mod 97 stand in for an eval suite)
+    "decontaminate" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.contamination(
+        docs, docs.where(col("doc_id") % 97 === 0), n = 8)
+        .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+          round(col("ratio"), 6).as("ratio"))
+        .orderBy("doc_id")
+    }),
+    // PII scrubbing over deterministically planted emails/phones (the
+    // synthetic corpus has none — the planting is the test harness, the
+    // operator is generic)
+    "pii_scrub" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val planted = t(s, dir, "documents")
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com soon")))
+          .otherwise(col("text")))
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" call 555-867-5309 today")))
+          .otherwise(col("text")))
+      TextAnalysis.piiScrub(planted).orderBy("doc_id")
+    }),
     "pca_reduce" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // deterministic PCA twin (sign-canonicalized, integer-sum fit) —
@@ -946,6 +972,22 @@ object SparkEntry {
         | FROM reach GROUP BY a ORDER BY id""".stripMargin,
     "fuzzy_link" -> fuzzyLinkOracleSql,
     "pca_reduce" -> pcaReduceOracleSql,
+    // grams are murmur-hashed Spark-side, strings here (ngram_jaccard
+    // precedent: set sizes agree on the deterministic corpus)
+    "decontaminate" ->
+      """WITH g AS (SELECT doc_id, list_distinct(list_transform(
+        |     generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+        |     i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS grams
+        |   FROM documents),
+        | bg AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 97 = 0),
+        | ex AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g FROM g),
+        | m AS (SELECT e.doc_id, e.n_grams,
+        |       cast(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_contaminated
+        |       FROM ex e LEFT JOIN bg ON e.g = bg.g GROUP BY 1, 2)
+        | SELECT doc_id, cast(n_grams as int) AS n_grams, n_contaminated,
+        |  round(n_contaminated / n_grams, 6) AS ratio
+        | FROM m ORDER BY doc_id""".stripMargin,
+    "pii_scrub" -> piiScrubOracleSql,
     // element-order list_sum mirrors sq_dist's index-order accumulation;
     // 1.25*1.25 is exact in binary on both engines
     "q26_dbscan" ->
@@ -1185,6 +1227,30 @@ object SparkEntry {
        | SELECT cast(mention_id as bigint) AS mention_id, entity_id,
        |   round(score, 6) AS score, 'minhash_lsh' AS method
        | FROM best WHERE rn = 1 ORDER BY mention_id""".stripMargin
+  }
+
+  /** pii_scrub oracle: the same planting CASEs and the same regexes
+    * (chosen inside the Java-regex ∩ RE2-compatible subset, so Spark's
+    * regexp_replace and DuckDB's agree match-for-match).
+    */
+  private def piiScrubOracleSql: String = {
+    // DuckDB standard strings keep backslashes literal — the Scala
+    // constants interpolate verbatim
+    val e = TextAnalysis.emailRe
+    val p = TextAnalysis.phoneRe
+    s"""WITH p1 AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN text || ' contact user' || cast(doc_id as varchar) || '@example.com soon'
+       |         ELSE text END AS t1
+       |  FROM documents),
+       | p2 AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN t1 || ' call 555-867-5309 today' ELSE t1 END AS text
+       |  FROM p1)
+       | SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS text_scrubbed,
+       |  cast(len(string_split_regex(text, '$e')) - 1 as int) AS n_emails,
+       |  cast(len(string_split_regex(text, '$p')) - 1 as int) AS n_phones
+       | FROM p2 ORDER BY doc_id""".stripMargin
   }
 
   /** pca_reduce oracle: mirrors Reduce.pcaDet operation-for-operation.

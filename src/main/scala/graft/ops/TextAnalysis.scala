@@ -114,4 +114,23 @@ object TextAnalysis {
       }
     }.toDF("doc_id", "fingerprints")
   }
+
+  /** PII patterns kept to the regex subset that evaluates identically
+    * under Java regex (Spark) and RE2 (common scrubber runtimes):
+    * character classes, bounded repetition, no backrefs/lookaround.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\d{3}[- .]\\d{3}[- .]\\d{4}"
+
+  /** PII scrubbing for training corpora: emails and NANP-style phone
+    * numbers replaced by typed placeholder tokens, with per-doc
+    * redaction counts for audit. Pure column expressions (codegen'd,
+    * map-only — no shuffle at any scale).
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("text_scrubbed"),
+      (size(split(col("text"), emailRe, -1)) - 1).as("n_emails"),
+      (size(split(col("text"), phoneRe, -1)) - 1).as("n_phones"))
 }
