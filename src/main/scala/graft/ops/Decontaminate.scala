@@ -18,10 +18,13 @@ object Decontaminate {
     * machinery: short docs yield their whole text as one gram).
     */
   private def gramSets(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
-      array_distinct(expr(
-        s"transform(sequence(0, greatest(size(split(text, ' ')) - $n, 0)), " +
-          s"i -> hash(array_join(slice(split(text, ' '), i + 1, $n), ' ')))")).as("grams"))
+    // split once per row, NOT inside the gram lambda: an inlined
+    // split(text) re-tokenizes per gram → O(words²) per doc
+    docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"),
+        array_distinct(expr(
+          s"transform(sequence(0, greatest(size(words) - $n, 0)), " +
+            s"i -> hash(array_join(slice(words, i + 1, $n), ' ')))")).as("grams"))
 
   /** Per-document contamination against `benchmark` (both tables need
     * (doc_id, text)): distinct n-grams, how many appear anywhere in the

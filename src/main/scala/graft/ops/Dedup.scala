@@ -165,10 +165,13 @@ object Dedup {
 
   /** Exact word-n-gram Jaccard for given candidate pairs (a, b). */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-      array_distinct(expr(
-        s"transform(sequence(0, greatest(size(split(text, ' ')) - $n, 0)), " +
-          s"i -> hash(array_join(slice(split(text, ' '), i + 1, $n), ' ')))")).as("grams"))
+    // split once per row (see Decontaminate.gramSets: an inlined
+    // split(text) re-tokenizes per gram)
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"),
+        array_distinct(expr(
+          s"transform(sequence(0, greatest(size(words) - $n, 0)), " +
+            s"i -> hash(array_join(slice(words, i + 1, $n), ' ')))")).as("grams"))
     val ga = grams.select(col("doc_id").as("a"), col("grams").as("ga"))
     val gb = grams.select(col("doc_id").as("b"), col("grams").as("gb"))
     pairs.join(ga, Seq("a")).join(gb, Seq("b"))
