@@ -186,7 +186,10 @@ object Bench {
     // rep protocol for the headline, mirroring the scaling pairs' honesty:
     // single-sample headlines on this shared VM spread ±20%, so one run
     // can't distinguish noise from regression. Best + all runs recorded.
-    val headlineReps = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_REPS", "2").toInt
+    // clamped to ≥1: REPS=0 with PIPELINE=1 would otherwise still count
+    // as a FULL run and clobber the canonical BENCH.json with triples:0
+    val headlineReps =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_HEADLINE_REPS", "2").toInt)
     var spark = session(cpus)
     val headlineRuns: Seq[(Double, Long)] =
       if (doPipeline) (1 to headlineReps).map { _ =>

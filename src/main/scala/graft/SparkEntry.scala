@@ -1245,12 +1245,15 @@ object SparkEntry {
        |  FROM documents),
        | p2 AS (SELECT doc_id,
        |    CASE WHEN doc_id % 11 = 0 THEN t1 || ' call 555-867-5309 today' ELSE t1 END AS text
-       |  FROM p1)
+       |  FROM p1),
+       | s1 AS (SELECT doc_id,
+       |    cast(len(string_split_regex(text, '$e')) - 1 as int) AS n_emails,
+       |    regexp_replace(text, '$e', '<EMAIL>', 'g') AS te
+       |  FROM p2)
        | SELECT doc_id,
-       |  regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS text_scrubbed,
-       |  cast(len(string_split_regex(text, '$e')) - 1 as int) AS n_emails,
-       |  cast(len(string_split_regex(text, '$p')) - 1 as int) AS n_phones
-       | FROM p2 ORDER BY doc_id""".stripMargin
+       |  regexp_replace(te, '$p', '<PHONE>', 'g') AS text_scrubbed, n_emails,
+       |  cast(len(string_split_regex(te, '$p')) - 1 as int) AS n_phones
+       | FROM s1 ORDER BY doc_id""".stripMargin
   }
 
   /** pca_reduce oracle: mirrors Reduce.pcaDet operation-for-operation.

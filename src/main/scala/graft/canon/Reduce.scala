@@ -59,8 +59,15 @@ object Reduce {
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val dims = feat.select(size(col("vec"))).first().getInt(0)
-    val n = feat.count().toInt
-    require(n > 1, "pcaDet needs at least 2 rows")
+    val nRows = feat.count()
+    require(nRows > 1, "pcaDet needs at least 2 rows")
+    // the covariance accumulator sums q_i·q_j products in int64; past
+    // ~1e5 rows at |z|·1e6 magnitudes it would WRAP silently — fail
+    // loudly instead (fit on a bounded sample and project everything,
+    // the IVF-centroid pattern, when the corpus is bigger)
+    require(nRows <= 200000L,
+      s"pcaDet fit is bounded to 200k rows (got $nRows): fit on a sample, project all")
+    val n = nRows.toInt
 
     // per-dim mean/std from exact integer sums of round(x*1e7) —
     // decimal sums so wide-magnitude inputs can't overflow int64 (the
@@ -122,6 +129,9 @@ object Reduce {
       var s = 0.0; var j = 0
       while (j < dims) { s += v(j) * v(j); j += 1 }
       val nrm = math.sqrt(s)
+      // zero vector ⇒ zero covariance (all inputs identical): fail with
+      // the real cause instead of NaN-poisoning the canonicalization
+      require(nrm > 0, "pcaDet: zero covariance — degenerate input (all vectors identical?)")
       v.map(_ / nrm)
     }
     val m = m0.map(_.clone())

@@ -14,27 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct hashed word-n-grams per document (the [[Dedup]] gram
-    * machinery: short docs yield their whole text as one gram).
-    */
-  private def gramSets(docs: DataFrame, n: Int): DataFrame =
-    // split once per row, NOT inside the gram lambda: an inlined
-    // split(text) re-tokenizes per gram → O(words²) per doc
-    docs.select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"),
-        array_distinct(expr(
-          s"transform(sequence(0, greatest(size(words) - $n, 0)), " +
-            s"i -> hash(array_join(slice(words, i + 1, $n), ' ')))")).as("grams"))
-
   /** Per-document contamination against `benchmark` (both tables need
     * (doc_id, text)): distinct n-grams, how many appear anywhere in the
     * benchmark set, and their ratio.
     */
   def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
     val bench = broadcast(
-      gramSets(benchmark, n).select(explode(col("grams")).as("g")).distinct()
+      Dedup.gramSets(benchmark, n).select(explode(col("grams")).as("g")).distinct()
         .withColumn("hit", lit(1)))
-    gramSets(docs, n)
+    Dedup.gramSets(docs, n)
       .select(col("doc_id"), size(col("grams")).as("n_grams"),
         explode(col("grams")).as("g"))
       .join(bench, Seq("g"), "left")

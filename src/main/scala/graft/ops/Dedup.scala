@@ -63,6 +63,17 @@ object Dedup {
     }.toDF("doc_id", "signature")
   }
 
+  /** (doc_id, band, band_hash) bucket keys for banded LSH — shared by
+    * the batch candidate join and the streaming keyed-state variant so
+    * both see identical buckets.
+    */
+  def bandedBuckets(signatures: DataFrame, bands: Int): DataFrame =
+    signatures.select(
+      col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, $bands - 1), " +
+        s"b -> hash(slice(signature, b * (size(signature) div $bands) + 1, size(signature) div $bands)))"))
+        .as(Seq("band", "band_hash")))
+
   /** Near-duplicate candidate pairs via banding: rows sharing any
     * (band, band-hash) bucket. Pairs are oriented (a < b) and distinct.
     *
@@ -76,17 +87,6 @@ object Dedup {
     * Buckets smaller than the cap are emitted exhaustively (recall
     * identical — DedupSpec proves it on the fixture corpus).
     */
-  /** (doc_id, band, band_hash) bucket keys for banded LSH — shared by
-    * the batch candidate join and the streaming keyed-state variant so
-    * both see identical buckets.
-    */
-  def bandedBuckets(signatures: DataFrame, bands: Int): DataFrame =
-    signatures.select(
-      col("doc_id"),
-      posexplode(expr(s"transform(sequence(0, $bands - 1), " +
-        s"b -> hash(slice(signature, b * (size(signature) div $bands) + 1, size(signature) div $bands)))"))
-        .as(Seq("band", "band_hash")))
-
   def minhashCandidates(signatures: DataFrame, bands: Int = 16,
                         maxBucket: Int = 64): DataFrame = {
     val banded = bandedBuckets(signatures, bands)
@@ -163,15 +163,22 @@ object Dedup {
 
   // ---------- n-gram Jaccard (exact, for candidate verification) ----------
 
-  /** Exact word-n-gram Jaccard for given candidate pairs (a, b). */
-  def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
-    // split once per row (see Decontaminate.gramSets: an inlined
-    // split(text) re-tokenizes per gram)
-    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+  /** Distinct hashed word-n-grams per document — the ONE gram builder
+    * shared by [[ngramJaccard]] and [[Decontaminate]] so the two
+    * oracle-gated operators cannot silently diverge. Splits once per
+    * row (an inlined split(text) would re-tokenize per gram); short
+    * docs yield their whole text as one gram.
+    */
+  def gramSets(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"),
         array_distinct(expr(
           s"transform(sequence(0, greatest(size(words) - $n, 0)), " +
             s"i -> hash(array_join(slice(words, i + 1, $n), ' ')))")).as("grams"))
+
+  /** Exact word-n-gram Jaccard for given candidate pairs (a, b). */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = gramSets(docs, n)
     val ga = grams.select(col("doc_id").as("a"), col("grams").as("ga"))
     val gb = grams.select(col("doc_id").as("b"), col("grams").as("gb"))
     pairs.join(ga, Seq("a")).join(gb, Seq("b"))

@@ -125,12 +125,16 @@ object TextAnalysis {
   /** PII scrubbing for training corpora: emails and NANP-style phone
     * numbers replaced by typed placeholder tokens, with per-doc
     * redaction counts for audit. Pure column expressions (codegen'd,
-    * map-only — no shuffle at any scale).
+    * map-only — no shuffle at any scale). The phone count runs on the
+    * email-scrubbed intermediate so a phone-shaped substring inside an
+    * email is not double-counted — counts equal placeholders emitted.
     */
   def piiScrub(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
-        phoneRe, "<PHONE>").as("text_scrubbed"),
-      (size(split(col("text"), emailRe, -1)) - 1).as("n_emails"),
-      (size(split(col("text"), phoneRe, -1)) - 1).as("n_phones"))
+        (size(split(col("text"), emailRe, -1)) - 1).as("n_emails"),
+        regexp_replace(col("text"), emailRe, "<EMAIL>").as("t1"))
+      .select(col("doc_id"),
+        regexp_replace(col("t1"), phoneRe, "<PHONE>").as("text_scrubbed"),
+        col("n_emails"),
+        (size(split(col("t1"), phoneRe, -1)) - 1).as("n_phones"))
 }

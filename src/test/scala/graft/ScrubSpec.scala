@@ -41,4 +41,12 @@ class ScrubSpec extends AnyFunSuite {
     assert(out(3L)._1 === "<EMAIL> and <EMAIL> twice")
     assert(out(3L)._2 === 2)
   }
+
+  test("phone-shaped substring inside an email is not double-counted") {
+    val docs = Seq((1L, "reach 555-123-4567@example.com now")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(docs).collect()(0)
+    assert(r.getString(1) === "reach <EMAIL> now")
+    assert(r.getInt(2) === 1) // one email
+    assert(r.getInt(3) === 0) // the phone count runs on the email-scrubbed text
+  }
 }
