@@ -724,6 +724,18 @@ object SparkEntry {
           .otherwise(col("text")))
       TextAnalysis.piiScrub(planted).orderBy("doc_id")
     }),
+    // Gopher-style intra-doc repetition signals (dup-word fraction,
+    // top-2-gram coverage, duplicated-5-gram occurrence fraction) —
+    // exact arithmetic, value-checked against the DuckDB mirror
+    "repetition_stats" -> ((s, dir) =>
+      graft.ops.Repetition.repetitionStats(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+    // CCNet-style corpus-level segment dedup: 10-word segments, first
+    // occurrence by (doc_id, pos) keeps, later identical segments are
+    // duplicates
+    "segment_dedup" -> ((s, dir) =>
+      graft.ops.Repetition.segmentDedup(t(s, dir, "documents"))
+        .orderBy("doc_id")),
     "pca_reduce" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // deterministic PCA twin (sign-canonicalized, integer-sum fit) —
@@ -988,6 +1000,45 @@ object SparkEntry {
         |  round(n_contaminated / n_grams, 6) AS ratio
         | FROM m ORDER BY doc_id""".stripMargin,
     "pii_scrub" -> piiScrubOracleSql,
+    // both engines work on the segment/gram STRINGS (no hash), so these
+    // are bit-exact cross-engine; integer counts, one rounded division
+    "repetition_stats" ->
+      """WITH d AS (SELECT doc_id, len(text) AS n_chars,
+        |     string_split(text, ' ') AS words FROM documents),
+        | w AS (SELECT doc_id, len(words) AS n_words,
+        |     len(list_distinct(words)) AS n_distinct FROM d),
+        | g2 AS (SELECT doc_id, n_chars, unnest(list_transform(
+        |     generate_series(1, greatest(len(words) - 1, 1)),
+        |     i -> array_to_string(words[i:i+1], ' '))) AS g FROM d),
+        | c2 AS (SELECT doc_id, n_chars, g, count(*) AS cnt FROM g2 GROUP BY 1, 2, 3),
+        | t2 AS (SELECT doc_id, g AS top_2gram,
+        |     round(cnt * len(g) / n_chars, 6) AS top2gram_frac,
+        |     row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn
+        |     FROM c2),
+        | g5 AS (SELECT doc_id, unnest(list_transform(
+        |     generate_series(1, greatest(len(words) - 4, 1)),
+        |     i -> array_to_string(words[i:i+4], ' '))) AS g FROM d),
+        | c5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+        | d5 AS (SELECT doc_id,
+        |     round(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) / sum(cnt), 6)
+        |       AS dup_5gram_frac FROM c5 GROUP BY 1)
+        | SELECT w.doc_id, cast(n_words as int) AS n_words,
+        |  round(cast(n_words - n_distinct as double) / n_words, 6) AS dup_word_frac,
+        |  t2.top_2gram, t2.top2gram_frac, d5.dup_5gram_frac
+        | FROM w JOIN t2 ON w.doc_id = t2.doc_id AND t2.rn = 1
+        | JOIN d5 ON w.doc_id = d5.doc_id ORDER BY w.doc_id""".stripMargin,
+    "segment_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        | i AS (SELECT doc_id, words, unnest(generate_series(1,
+        |     cast(ceil(len(words) / 10.0) as bigint))) AS i FROM d),
+        | s AS (SELECT doc_id, i - 1 AS pos,
+        |     array_to_string(words[(i-1)*10+1:(i-1)*10+10], ' ') AS seg FROM i),
+        | r AS (SELECT doc_id, row_number() OVER
+        |     (PARTITION BY seg ORDER BY doc_id, pos) AS occ FROM s)
+        | SELECT doc_id, count(*) AS n_segments,
+        |  cast(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_segments,
+        |  round(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
+        | FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // element-order list_sum mirrors sq_dist's index-order accumulation;
     // 1.25*1.25 is exact in binary on both engines
     "q26_dbscan" ->
