@@ -736,6 +736,24 @@ object SparkEntry {
     "segment_dedup" -> ((s, dir) =>
       graft.ops.Repetition.segmentDedup(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // DoReMi-style domain reweighting: portable md5 keep-bucket per
+    // source, broadcast weights join — sources outside the mixture drop
+    "source_sample" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.ops.Mixing.sourceSample(t(s, dir, "documents"),
+        Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .orderBy("doc_id")
+    }),
+    // token-budget shard packing via the two-phase distributed prefix
+    // sum (bucketWidth 64 at test scale so the bucket-offset path is
+    // actually exercised across ~8 buckets)
+    "shard_pack" -> ((s, dir) =>
+      graft.ops.Mixing.shardPack(t(s, dir, "documents"),
+        shardTokens = 2000L, bucketWidth = 64L)
+        .orderBy("doc_id")),
+    // corpus-level rarity: mean fixed-point inverse document frequency
+    "idf_score" -> ((s, dir) =>
+      graft.ops.Mixing.idfScore(t(s, dir, "documents")).orderBy("doc_id")),
     "pca_reduce" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // deterministic PCA twin (sign-canonicalized, integer-sum fit) —
@@ -1000,6 +1018,30 @@ object SparkEntry {
         |  round(n_contaminated / n_grams, 6) AS ratio
         | FROM m ORDER BY doc_id""".stripMargin,
     "pii_scrub" -> piiScrubOracleSql,
+    "source_sample" ->
+      """SELECT doc_id, source, lang FROM documents
+        | WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        |  AND cast(concat('0x', substr(md5(text), 1, 8)) as bigint) % 1000000 <
+        |   CASE source WHEN 'src0' THEN 900000 WHEN 'src1' THEN 500000
+        |    WHEN 'src2' THEN 250000 ELSE 100000 END
+        | ORDER BY doc_id""".stripMargin,
+    "shard_pack" ->
+      s"""WITH t AS (SELECT doc_id, cast($tokSql as bigint) AS tokens FROM documents),
+         | c AS (SELECT doc_id, tokens, sum(tokens) OVER (ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         | SELECT doc_id, tokens, cast((cum - tokens) // 2000 as bigint) AS shard_id
+         | FROM c ORDER BY doc_id""".stripMargin,
+    // per-word floor(1e6/df) is IEEE division + floor (no transcendental),
+    // the per-doc sum is an order-free int64 sum — bit-exact both engines
+    "idf_score" ->
+      """WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        | df AS (SELECT word, count(DISTINCT doc_id) AS df FROM occ GROUP BY 1),
+        | j AS (SELECT o.doc_id, cast(floor(1000000.0 / d.df) as bigint) AS idf_micro
+        |       FROM occ o JOIN df d ON o.word = d.word),
+        | a AS (SELECT doc_id, count(*) AS n_words,
+        |       cast(sum(idf_micro) as bigint) AS s FROM j GROUP BY 1)
+        | SELECT doc_id, n_words, round(s / 1000000.0 / n_words, 6) AS idf_score
+        | FROM a ORDER BY doc_id""".stripMargin,
     // both engines work on the segment/gram STRINGS (no hash), so these
     // are bit-exact cross-engine; integer counts, one rounded division
     "repetition_stats" ->

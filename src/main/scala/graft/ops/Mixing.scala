@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-mixing operators for assembling a training set: per-source
+  * reweighting, token-budget shard packing, and a corpus-level rarity
+  * (inverse-document-frequency) score. All three keep the cross-engine
+  * determinism recipe — portable md5 buckets, order-free integer sums,
+  * one rounded division at the end — so the driver's DuckDB gate
+  * value-checks them end to end.
+  */
+object Mixing {
+
+  /** Domain reweighting (DoReMi-style mixture adjustment): keep each
+    * document with its source's target probability, decided by the
+    * portable md5 bucket of the text — deterministic, reproducible
+    * across engines and reruns, and independent of row order.
+    *
+    * Scale shape: the weights table is a handful of rows → broadcast
+    * join + map-side filter; no shuffle of the corpus at any scale.
+    */
+  def sourceSample(docs: DataFrame, weights: Map[String, Double])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val m = 1000000L
+    val w = weights.toSeq.toDF("source", "keep_frac")
+      .select(col("source"), (col("keep_frac") * m).cast("long").as("keep_below"))
+    docs.join(broadcast(w), Seq("source"))
+      .where(CurationPipeline.hashBucket(col("text"), m) < col("keep_below"))
+      .select("doc_id", "source", "lang")
+  }
+
+  /** Token-budget shard packing: assign each document to a training
+    * shard of ~`shardTokens` whitespace tokens, in deterministic
+    * doc_id order (shard = the running token offset at the START of
+    * the doc, integer-divided by the budget).
+    *
+    * The prefix sum is the classic two-phase distributed scan, NOT a
+    * single-partition global window: docs are bucketed by
+    * `doc_id div bucketWidth`, per-bucket token totals roll up first
+    * (map-side partial agg), a window over the SMALL bucket table
+    * turns them into bucket offsets, and the intra-bucket cumsum runs
+    * partitioned by bucket. The only unpartitioned window touches one
+    * row per bucket (corpus_rows / bucketWidth — at 10^12 docs and the
+    * default width that is ~10^6 rows on one task, still trivial; widen
+    * `bucketWidth` to shrink it further). All arithmetic is int64 —
+    * exact far past the 2^53 double cliff a float cumsum would hit.
+    */
+  def shardPack(docs: DataFrame, shardTokens: Long, bucketWidth: Long = 1000000L): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"),
+      expr(s"doc_id div $bucketWidth").as("bucket"))
+    val offsets = toks.groupBy("bucket").agg(sum("tokens").as("btoks"))
+      .withColumn("offset", coalesce(
+        sum("btoks").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    val intra = Window.partitionBy("bucket").orderBy("doc_id")
+    toks.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", sum("tokens").over(intra))
+      .select(col("doc_id"), col("tokens"),
+        expr(s"(offset + cum - tokens) div $shardTokens").as("shard_id"))
+  }
+
+  /** Corpus-level rarity score: mean inverse document frequency over a
+    * document's word occurrences, in FIXED-POINT micro units —
+    * per-word `floor(1e6 / df)` is bit-exact on both engines (IEEE
+    * division + floor, no transcendental), the per-doc sum is an
+    * order-free int64 sum, and the only float division is the final
+    * rounded normalization. Higher = rarer vocabulary.
+    *
+    * Scale shape: the document-frequency table is vocabulary-sized
+    * (distinct (word, doc) partial-agg before the count), the join back
+    * is keyed on the word — sort-merge on a vocab-bounded key, with the
+    * per-doc reduce a plain partial-agg sum.
+    */
+  def idfScore(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val df = occ.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+    occ.join(df, Seq("word"))
+      .withColumn("idf_micro", expr("cast(floor(1000000.0D / df) as bigint)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("idf_micro").as("s"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("s") / lit(1000000.0) / col("n_words"), 6).as("idf_score"))
+  }
+}

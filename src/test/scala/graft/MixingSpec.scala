@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Mixing
+
+/** Corpus-mixing operators (ops/Mixing.scala): shard packing's
+  * two-phase prefix sum, source reweighting, and fixed-point IDF.
+  */
+class MixingSpec extends AnyFunSuite {
+  lazy implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("shardPack two-phase prefix sum is bucketWidth-invariant") {
+    val docs = (0L until 200L).map { i =>
+      (i, ("w " * (1 + (i % 37)).toInt).trim)
+    }.toDF("doc_id", "text")
+    val narrow = Mixing.shardPack(docs, shardTokens = 100L, bucketWidth = 7L)
+      .orderBy("doc_id").collect()
+    val single = Mixing.shardPack(docs, shardTokens = 100L, bucketWidth = 100000L)
+      .orderBy("doc_id").collect()
+    assert(narrow.toSeq === single.toSeq)
+    // shards fill in doc_id order: shard ids are non-decreasing
+    val ids = narrow.map(_.getAs[Long]("shard_id"))
+    assert(ids.zip(ids.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("shardPack assigns by the token offset at the start of the doc") {
+    // tokens: 3, 3, 3 with budget 5 -> start offsets 0, 3, 6 -> shards 0, 0, 1
+    val docs = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
+      .toDF("doc_id", "text")
+    val out = Mixing.shardPack(docs, shardTokens = 5L).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("shard_id")).toSeq === Seq(0L, 0L, 1L))
+  }
+
+  test("sourceSample honors degenerate weights and drops unlisted sources") {
+    val docs = (0L until 60L).map { i =>
+      (i, s"doc $i content", s"src${i % 3}", "en")
+    }.toDF("doc_id", "text", "source", "lang")
+    val out = Mixing.sourceSample(docs, Map("src0" -> 1.0, "src1" -> 0.0))
+      .collect()
+    assert(out.forall(_.getAs[String]("source") == "src0"))
+    assert(out.length === 20) // all of src0, none of src1, src2 unlisted
+  }
+
+  test("idfScore matches hand-computed fixed-point values") {
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    // df: a=2, b=1, c=1 -> micro 500000 / 1000000; each doc: 1.5 / 2
+    val out = Mixing.idfScore(docs).orderBy("doc_id").collect()
+    assert(out(0) === Row(1L, 2L, 0.75))
+    assert(out(1) === Row(2L, 2L, 0.75))
+  }
+}
