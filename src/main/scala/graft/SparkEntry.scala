@@ -736,6 +736,21 @@ object SparkEntry {
     "segment_dedup" -> ((s, dir) =>
       graft.ops.Repetition.segmentDedup(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // near-dup canonicalization end-step: CC over exact verified pairs
+    // (3-gram Jaccard >= 0.1 among all doc_id < 200 pairs — the same
+    // deterministic candidate recipe as ngram_jaccard/fuzzy_link), one
+    // keeper per duplicate cluster; the production path feeds
+    // minhashPairs-verified candidates into the same canonicalize()
+    "neardup_canon" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+      val ids = docs.select(col("doc_id"))
+      val allPairs = ids.select(col("doc_id").as("a"))
+        .join(ids.select(col("doc_id").as("b")), col("a") < col("b"))
+      val pairs = graft.ops.Dedup.ngramJaccard(docs, allPairs, n = 3)
+        .where(col("jaccard") >= 0.1)
+      graft.ops.Dedup.canonicalize(docs, pairs).orderBy("doc_id")
+    }),
     // DoReMi-style domain reweighting: portable md5 keep-bucket per
     // source, broadcast weights join — sources outside the mixture drop
     "source_sample" -> ((s, dir) => {
@@ -1018,6 +1033,27 @@ object SparkEntry {
         |  round(n_contaminated / n_grams, 6) AS ratio
         | FROM m ORDER BY doc_id""".stripMargin,
     "pii_scrub" -> piiScrubOracleSql,
+    // same reachability-closure oracle shape as cc_components; grams
+    // are murmur-hashed Spark-side, strings here (ngram_jaccard
+    // precedent: distinct-set sizes agree on the deterministic corpus)
+    "neardup_canon" ->
+      """WITH RECURSIVE g AS (SELECT doc_id, list_distinct(list_transform(
+        |     generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |     i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS grams
+        |   FROM documents WHERE doc_id < 200),
+        | e0 AS (SELECT a.doc_id AS a, b.doc_id AS b FROM g a JOIN g b
+        |   ON a.doc_id < b.doc_id
+        |   WHERE len(list_intersect(a.grams, b.grams)) /
+        |     len(list_distinct(list_concat(a.grams, b.grams))) >= 0.1),
+        | e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        | reach(s, d) AS (SELECT a, a FROM (SELECT a FROM e UNION SELECT b FROM e) u(a)
+        |   UNION SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a),
+        | comp AS (SELECT s AS doc_id, min(d) AS component FROM reach GROUP BY s)
+        | SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical_id,
+        |  coalesce(c.component, d.doc_id) = d.doc_id AS is_keeper
+        | FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+        | LEFT JOIN comp c ON d.doc_id = c.doc_id
+        | ORDER BY d.doc_id""".stripMargin,
     "source_sample" ->
       """SELECT doc_id, source, lang FROM documents
         | WHERE source IN ('src0', 'src1', 'src2', 'src3')

@@ -187,6 +187,29 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Corpus-level near-dup canonicalization — the end step of dedup:
+    * connected components over verified near-dup pairs, mapping every
+    * document to the min doc_id of its duplicate cluster (itself when
+    * unpaired). `is_keeper` marks the one document per cluster that
+    * survives; pair-at-a-time dropping is NOT transitively consistent
+    * (a~b, b~c can drop b and keep both a and c), CC is.
+    *
+    * Scale shape: rides [[graft.canon.ConnectedComponents.run]] —
+    * hash-min + pointer jumping, O(log d) rounds, partial-agg min
+    * messages — over a pair set that is linear in corpus size (banded
+    * candidates, hot-bucket capped), then one left join back to docs.
+    */
+  def canonicalize(docs: DataFrame, pairs: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    val comp = graft.canon.ConnectedComponents.run(
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_keeper", col("doc_id") === col("canonical_id"))
+  }
+
   // ---------- embedding cosine near-dup ----------
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates

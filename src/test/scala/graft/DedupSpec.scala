@@ -81,4 +81,16 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L)._1 === "en" && got(1L)._2 > 0)
     assert(got(2L) === ("und", 0))
   }
+
+  test("canonicalize is transitively consistent: one keeper per chain") {
+    // pair-at-a-time dropping would keep both 1 and 3 of the chain
+    // 1~2, 2~3; CC canonicalization keeps exactly one (the min id)
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.canonicalize(docs, pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
+  }
 }
