@@ -323,6 +323,18 @@ object SparkEntry {
     // exact twin of the embedding near-dup operator: all-pairs cosine
     // above a threshold chosen 550x the engines' arithmetic noise away
     // from the nearest pair (0.45; closest pair at 0.4494)
+    // corpus-distribution monitoring: EXACT type-7 quantiles of doc
+    // length per language. Quantile points are quarter-multiples so the
+    // interpolation weight (frac of p*(n-1)) is a power-of-2 fraction —
+    // exact in binary on both engines. The 100 TB path swaps in
+    // percentile_approx (t-digest) with identical plan shape.
+    "q28_length_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(n_chars, 0.25D)"), 6).as("p25"),
+          round(expr("percentile(n_chars, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.75D)"), 6).as("p75"))
+        .orderBy("lang")),
     "q27_cosine_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -1033,6 +1045,12 @@ object SparkEntry {
         |  round(n_contaminated / n_grams, 6) AS ratio
         | FROM m ORDER BY doc_id""".stripMargin,
     "pii_scrub" -> piiScrubOracleSql,
+    "q28_length_quantiles" ->
+      """SELECT lang, count(*) AS n,
+        | round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        | round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        | round(quantile_cont(n_chars, 0.75), 6) AS p75
+        | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // same reachability-closure oracle shape as cc_components; grams
     // are murmur-hashed Spark-side, strings here (ngram_jaccard
     // precedent: distinct-set sizes agree on the deterministic corpus)
