@@ -1086,7 +1086,8 @@ object SparkEntry {
          | SELECT doc_id, tokens, cast((cum - tokens) // 2000 as bigint) AS shard_id
          | FROM c ORDER BY doc_id""".stripMargin,
     // per-word floor(1e6/df) is IEEE division + floor (no transcendental),
-    // the per-doc sum is an order-free int64 sum — bit-exact both engines
+    // then everything stays int64 (order-free sum, truncating mean) —
+    // bit-exact both engines with NO rounding boundary
     "idf_score" ->
       """WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         | df AS (SELECT word, count(DISTINCT doc_id) AS df FROM occ GROUP BY 1),
@@ -1094,7 +1095,7 @@ object SparkEntry {
         |       FROM occ o JOIN df d ON o.word = d.word),
         | a AS (SELECT doc_id, count(*) AS n_words,
         |       cast(sum(idf_micro) as bigint) AS s FROM j GROUP BY 1)
-        | SELECT doc_id, n_words, round(s / 1000000.0 / n_words, 6) AS idf_score
+        | SELECT doc_id, n_words, cast(s // n_words as bigint) AS idf_micro_mean
         | FROM a ORDER BY doc_id""".stripMargin,
     // both engines work on the segment/gram STRINGS (no hash), so these
     // are bit-exact cross-engine; integer counts, one rounded division

@@ -65,11 +65,15 @@ object Mixing {
   }
 
   /** Corpus-level rarity score: mean inverse document frequency over a
-    * document's word occurrences, in FIXED-POINT micro units —
+    * document's word occurrences, ENTIRELY in fixed-point micro units —
     * per-word `floor(1e6 / df)` is bit-exact on both engines (IEEE
     * division + floor, no transcendental), the per-doc sum is an
-    * order-free int64 sum, and the only float division is the final
-    * rounded normalization. Higher = rarer vocabulary.
+    * order-free int64 sum, and the mean is int64 `div` (truncating).
+    * Higher = rarer vocabulary. No float ever reaches the output: the
+    * OracleMarginSpec audit showed a rounded float mean lands EXACTLY
+    * on round-6 half boundaries on this corpus (values like 2564.5
+    * micro), where Spark's BigDecimal rounding and DuckDB's float
+    * rounding may part ways — integer units have no boundary at all.
     *
     * Scale shape: the document-frequency table is vocabulary-sized
     * (distinct (word, doc) partial-agg before the count), the join back
@@ -84,6 +88,6 @@ object Mixing {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("idf_micro").as("s"))
       .select(col("doc_id"), col("n_words"),
-        round(col("s") / lit(1000000.0) / col("n_words"), 6).as("idf_score"))
+        expr("s div n_words").as("idf_micro_mean"))
   }
 }

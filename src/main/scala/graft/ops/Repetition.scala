@@ -45,7 +45,17 @@ object Repetition {
     * repeats before the shuffle, and the per-doc reduce is a bounded
     * max/sum. No corpus-sized state anywhere.
     */
-  def repetitionStats(docs: DataFrame): DataFrame = {
+  def repetitionStats(docs: DataFrame): DataFrame =
+    repetitionStatsRaw(docs).select(col("doc_id"), col("n_words"),
+      round(col("dup_word_frac"), 6).as("dup_word_frac"),
+      col("top_2gram"),
+      round(col("top2gram_frac"), 6).as("top2gram_frac"),
+      round(col("dup_5gram_frac"), 6).as("dup_5gram_frac"))
+
+  /** Unrounded twin of [[repetitionStats]] — OracleMarginSpec audits
+    * these raw ratios against the cross-engine round-6 boundary.
+    */
+  private[graft] def repetitionStatsRaw(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), length(col("text")).as("n_chars"),
       words(col("text")).as("words"))
     val wordStats = base.select(col("doc_id"), col("n_chars"),
@@ -58,7 +68,7 @@ object Repetition {
       .groupBy("doc_id", "n_chars")
       .agg(max(struct(col("cnt"), col("g"))).as("top"))
       .select(col("doc_id"), col("top.g").as("top_2gram"),
-        round(col("top.cnt") * length(col("top.g")) / col("n_chars"), 6)
+        (col("top.cnt") * length(col("top.g")) / col("n_chars"))
           .as("top2gram_frac"))
 
     val g5 = base.select(col("doc_id"), explode(gramArray(col("words"), 5)).as("g"))
@@ -66,12 +76,12 @@ object Repetition {
       .groupBy("doc_id")
       .agg(sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup_occ"),
         sum(col("cnt")).as("tot_occ"))
-      .select(col("doc_id"), round(col("dup_occ") / col("tot_occ"), 6)
+      .select(col("doc_id"), (col("dup_occ") / col("tot_occ"))
         .as("dup_5gram_frac"))
 
     wordStats
       .select(col("doc_id"), col("n_words"),
-        round((col("n_words") - col("n_distinct")).cast("double") / col("n_words"), 6)
+        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
           .as("dup_word_frac"))
       .join(g2.drop("n_chars"), Seq("doc_id"))
       .join(g5, Seq("doc_id"))
@@ -106,4 +116,9 @@ object Repetition {
       .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
         round(col("n_dup_segments") / col("n_segments"), 6).as("dup_frac"))
   }
+
+  /** Unrounded dup_frac twin for the OracleMarginSpec boundary audit. */
+  private[graft] def segmentDedupRaw(docs: DataFrame, segWords: Int = 10): DataFrame =
+    segmentDedup(docs, segWords).select(col("doc_id"),
+      (col("n_dup_segments") / col("n_segments")).as("dup_frac"))
 }

@@ -45,9 +45,10 @@ class MixingSpec extends AnyFunSuite {
 
   test("idfScore matches hand-computed fixed-point values") {
     val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
-    // df: a=2, b=1, c=1 -> micro 500000 / 1000000; each doc: 1.5 / 2
+    // df: a=2, b=1, c=1 -> micro 500000 / 1000000; each doc:
+    // (500000 + 1000000) div 2 = 750000 micro, pure int64
     val out = Mixing.idfScore(docs).orderBy("doc_id").collect()
-    assert(out(0) === Row(1L, 2L, 0.75))
-    assert(out(1) === Row(2L, 2L, 0.75))
+    assert(out(0) === Row(1L, 2L, 750000L))
+    assert(out(1) === Row(2L, 2L, 750000L))
   }
 }
