@@ -535,6 +535,15 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 16)
     }),
+    // the FULL minhash+LSH machinery (shingle → signature → band key →
+    // capped bucket join → signature-agreement verify) in portable
+    // mod-2³¹−1 arithmetic, hash-proven end to end by a DuckDB oracle
+    // that recomputes every stage; minhash_pairs stays the avalanche-
+    // hash production variant (rows-only by construction)
+    "minhash_portable" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.portableMinhashPairs(t(s, dir, "documents")).orderBy("a", "b")
+    }),
     "ngram_jaccard" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val docs = t(s, dir, "documents")
@@ -969,6 +978,38 @@ object SparkEntry {
         | SELECT a.doc_id AS a, b.doc_id AS b,
         |  len(list_intersect(a.grams, b.grams)) / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
         | FROM g a JOIN g b ON a.doc_id < b.doc_id ORDER BY a, b""".stripMargin,
+    // replays the entire portable minhash pipeline: polynomial shingle
+    // hash, 16 affine min-hashes mod 2^31-1, 4-slot band keys, the
+    // rank<=64 hot-bucket cap, and the agreement count — stage for stage
+    // the same arithmetic as Dedup.portableMinhashPairs
+    "minhash_portable" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 5),
+        | pos AS (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM d),
+        | gr AS (SELECT doc_id,
+        |  (((((cast(ord(substr(text, cast(i as int), 1)) as bigint)) * 131
+        |     + ord(substr(text, cast(i as int)+1, 1))) * 131
+        |     + ord(substr(text, cast(i as int)+2, 1))) * 131
+        |     + ord(substr(text, cast(i as int)+3, 1))) * 131
+        |     + ord(substr(text, cast(i as int)+4, 1))) % 2147483647 AS g
+        |  FROM pos),
+        | hj AS (SELECT doc_id, j,
+        |  min(((7919 * (j + 1)) % 2147483647 * g + (104729 * (j + 1)) % 2147483647) % 2147483647) AS h
+        |  FROM gr CROSS JOIN (SELECT unnest(range(0, 16)) AS j) seeds
+        |  GROUP BY doc_id, j),
+        | band AS (SELECT doc_id, j // 4 AS band, string_agg(h::VARCHAR, ',' ORDER BY j) AS bkey
+        |  FROM hj GROUP BY doc_id, j // 4),
+        | rk AS (SELECT doc_id, band, bkey,
+        |  row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS r FROM band),
+        | cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM rk a JOIN band b USING (band, bkey)
+        |  WHERE a.r <= 64 AND a.doc_id < b.doc_id),
+        | scored AS (SELECT c.a, c.b,
+        |  cast(sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |  FROM cand c
+        |  JOIN hj ha ON ha.doc_id = c.a
+        |  JOIN hj hb ON hb.doc_id = c.b AND hb.j = ha.j
+        |  GROUP BY c.a, c.b)
+        | SELECT a, b, n_match FROM scored WHERE n_match >= 13 ORDER BY a, b""".stripMargin,
     "cc_sizes" ->
       """WITH o AS (SELECT doc_id, lang,
         |   CASE WHEN lag(lang) OVER w = lang AND lag(doc_id) OVER w = doc_id - 1

@@ -117,6 +117,88 @@ object Dedup {
       .select("a", "b", "est_jaccard")
   }
 
+  // ---------- portable MinHash (cross-engine-verifiable) ----------
+
+  /** MinHash signatures in PORTABLE integer arithmetic: polynomial
+    * char-shingle hash and per-seed affine hashes, everything mod the
+    * Mersenne prime 2³¹−1 with no 64-bit wraparound anywhere (products
+    * stay < 2⁶²), so an external SQL engine can recompute signatures,
+    * band keys, capped buckets and match counts bit-for-bit. The
+    * production path ([[minhashSignatures]]) keeps the avalanche hash
+    * for better bucket entropy; this twin exists to hash-prove the
+    * MACHINERY — shingle → signature → band → capped bucket join →
+    * verify — against an independent engine, which the avalanche
+    * variant cannot (its hash is engine-internal by construction).
+    * Same mapPartitions single-pass shape, so the scale behavior it
+    * proves is the production one.
+    */
+  def portableMinhashSignatures(docs: DataFrame, numHashes: Int = 16,
+                                shingle: Int = 5)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val n = numHashes
+    val sh = shingle
+    docs.select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= sh)
+      .as[(Long, String)].mapPartitions { it =>
+        val P = 2147483647L // 2^31 - 1
+        val as = Array.tabulate(n)(j => (7919L * (j + 1)) % P)
+        val bs = Array.tabulate(n)(j => (104729L * (j + 1)) % P)
+        it.map { case (id, text) =>
+          val sig = Array.fill(n)(Long.MaxValue)
+          var i = 0
+          while (i <= text.length - sh) {
+            var g = 0L
+            var k = 0
+            while (k < sh) { g = g * 131 + text.charAt(i + k); k += 1 }
+            g %= P
+            var j = 0
+            while (j < n) {
+              val h = (as(j) * g + bs(j)) % P
+              if (h < sig(j)) sig(j) = h
+              j += 1
+            }
+            i += 1
+          }
+          (id, sig)
+        }
+      }.toDF("doc_id", "signature")
+  }
+
+  /** Banded near-dup pairs over [[portableMinhashSignatures]]; band key
+    * is the signature slice itself (joined as text) — no engine hash in
+    * the bucket key either, so the whole pair stream is recomputable
+    * outside Spark. Same hot-bucket cap as [[minhashCandidates]].
+    * Output: (a, b, n_match) with n_match = agreeing signature slots.
+    */
+  def portableMinhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                           shingle: Int = 5, minMatch: Int = 13,
+                           maxBucket: Int = 64)(
+      implicit spark: SparkSession): DataFrame = {
+    val r = numHashes / bands
+    val sigs = portableMinhashSignatures(docs, numHashes, shingle)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, $bands - 1), " +
+        s"b -> array_join(transform(slice(signature, b * $r + 1, $r), " +
+        s"x -> cast(x as string)), ','))")).as(Seq("band", "bkey")))
+    val w = Window.partitionBy("band", "bkey").orderBy("doc_id")
+    val a = banded.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= maxBucket)
+      .select(col("doc_id").as("a"), col("band"), col("bkey"))
+    val b = banded.select(col("doc_id").as("b"), col("band"), col("bkey"))
+    val cands = a.join(b, Seq("band", "bkey"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sa = sigs.select(col("doc_id").as("a"), col("signature").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("b"), col("signature").as("sig_b"))
+    cands.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("n_match", expr(
+        "cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) as bigint)"))
+      .where(col("n_match") >= minMatch)
+      .select("a", "b", "n_match")
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit simhash over whitespace tokens + 16-bit-band candidate pairs

@@ -82,6 +82,44 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L) === ("und", 0))
   }
 
+  test("portable minhash: planted near-dup found, signature arithmetic bounded") {
+    // doc 0/1 differ by one trailing token -> most shingles shared;
+    // doc 2 is unrelated chaff
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today", "en", "s", 0L),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonite", "en", "s", 0L),
+      (2L, "completely different material with zero shared shingle windows here", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sigs = Dedup.portableMinhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.size === 3)
+    // every slot is a value mod 2^31-1 (never the Long.MaxValue sentinel)
+    sigs.values.foreach { s =>
+      assert(s.length === 16)
+      assert(s.forall(v => v >= 0L && v < 2147483647L))
+    }
+    val pairs = Dedup.portableMinhashPairs(docs, minMatch = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs((0L, 1L)) >= 10L && pairs((0L, 1L)) <= 16L)
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("portable minhash: identical docs agree on all slots; cap keeps groups") {
+    val hot = (0 until 120).map(i =>
+      (i.toLong, "identical boilerplate body repeated verbatim everywhere", "en", "s", 0L))
+    val docs = (hot :+ ((999L, "lone unique document unlike any other in this corpus", "en", "s", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.portableMinhashPairs(docs, maxBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // capped: every member pairs with a low anchor, all 16/16 agreement,
+    // and transitive closure keeps the group connected
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(members === (0 until 120).map(_.toLong).toSet)
+    assert(pairs.forall(_._3 === 16L))
+    assert(!members.contains(999L))
+  }
+
   test("canonicalize is transitively consistent: one keeper per chain") {
     // pair-at-a-time dropping would keep both 1 and 3 of the chain
     // 1~2, 2~3; CC canonicalization keeps exactly one (the min id)
