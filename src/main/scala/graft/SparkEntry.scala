@@ -544,6 +544,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.portableMinhashPairs(t(s, dir, "documents")).orderBy("a", "b")
     }),
+    // the simhash machinery (token hash → bit-majority vote → nibble
+    // bands → Hamming verify) with md5-derived 16-bit token hashes —
+    // recomputable in any engine, so the DuckDB oracle hash-proves it;
+    // simhash_pairs stays the 64-bit avalanche production variant
+    "simhash_portable" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.portableSimhashPairs(t(s, dir, "documents")).orderBy("a", "b")
+    }),
     "ngram_jaccard" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val docs = t(s, dir, "documents")
@@ -790,6 +798,15 @@ object SparkEntry {
     // corpus-level rarity: mean fixed-point inverse document frequency
     "idf_score" -> ((s, dir) =>
       graft.ops.Mixing.idfScore(t(s, dir, "documents")).orderBy("doc_id")),
+    // content-keyed train/val/test split: exact duplicates cannot
+    // straddle the eval boundary by construction (portable md5 bucket)
+    "dataset_split" -> ((s, dir) =>
+      graft.ops.Mixing.datasetSplit(t(s, dir, "documents")).orderBy("doc_id")),
+    // tokenizer vocabulary: top-k words, deterministic tie-break;
+    // k=20 against the 31-word synthetic vocab so the selection
+    // boundary (count ties broken by word) is actually exercised
+    "vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(t(s, dir, "documents"), k = 20)),
     "pca_reduce" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // deterministic PCA twin (sign-canonicalized, integer-sum fit) —
@@ -1120,6 +1137,45 @@ object SparkEntry {
         |   CASE source WHEN 'src0' THEN 900000 WHEN 'src1' THEN 500000
         |    WHEN 'src2' THEN 250000 ELSE 100000 END
         | ORDER BY doc_id""".stripMargin,
+    "dataset_split" ->
+      """WITH b AS (SELECT doc_id,
+        |   cast(concat('0x', substr(md5(text), 1, 8)) as bigint) % 1000 AS bucket
+        |  FROM documents)
+        | SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 980 THEN 'train'
+        |       WHEN bucket < 990 THEN 'validation'
+        |       ELSE 'test' END AS split
+        | FROM b ORDER BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      """SELECT word, cast(count(*) as bigint) AS n
+        | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        | GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // full replay of the portable simhash: md5-nibble token values,
+    // bit-majority vote per doc, nibble band buckets with the rank<=64
+    // cap, Hamming verify on the 16-bit signatures
+    "simhash_portable" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        | tv AS (SELECT doc_id,
+        |  (strpos('0123456789abcdef', substr(md5(tok),1,1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(tok),2,1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(tok),3,1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(tok),4,1)) - 1) AS v
+        | FROM tok),
+        | bits AS (SELECT doc_id, b, sum(CASE WHEN (v // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tv CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
+        |  GROUP BY doc_id, b),
+        | sig AS (SELECT doc_id, cast(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) as bigint) AS sig
+        |  FROM bits GROUP BY doc_id),
+        | band AS (SELECT doc_id, sig, bd AS band, (sig >> cast(bd * 4 as int)) & 15 AS bval
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bd) bands),
+        | rk AS (SELECT doc_id, band, bval,
+        |  row_number() OVER (PARTITION BY band, bval ORDER BY doc_id) AS r FROM band),
+        | cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM rk a JOIN band b USING (band, bval)
+        |  WHERE a.r <= 64 AND a.doc_id < b.doc_id),
+        | ham AS (SELECT c.a, c.b, cast(bit_count(xor(sa.sig, sb.sig)) as int) AS hamming
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b)
+        | SELECT a, b, hamming FROM ham WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
     "shard_pack" ->
       s"""WITH t AS (SELECT doc_id, cast($tokSql as bigint) AS tokens FROM documents),
          | c AS (SELECT doc_id, tokens, sum(tokens) OVER (ORDER BY doc_id

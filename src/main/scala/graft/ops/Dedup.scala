@@ -199,6 +199,45 @@ object Dedup {
       .select("a", "b", "n_match")
   }
 
+  /** 16-bit SimHash twin in portable arithmetic: the per-token hash is
+    * the first 16 bits of its md5 (md5 is md5 in every engine), the
+    * signature is the usual bit-majority vote, banding is the 4 nibbles
+    * with a Hamming ≤ `maxHamming` verify (pigeonhole: ≤ 3 bit errors
+    * guarantee one clean 4-bit band). Same role as
+    * [[portableMinhashPairs]]: an external engine can recompute token
+    * hashes, majority votes, band buckets and Hamming distances exactly,
+    * hash-proving the simhash MACHINERY; the production 64-bit variant
+    * ([[simhashPairs]]) keeps the avalanche token hash for bucket
+    * entropy. The bit-majority sums are 16 per-group aggregate columns
+    * (one pass, codegen'd) — not a 16× row explosion.
+    */
+  def portableSimhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                           maxBucket: Int = 64): DataFrame = {
+    val tv = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("v", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))
+    val aggs = (0 until 16).map(b =>
+      sum(when(shiftright(col("v"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sig = tv.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
+          .reduce(_ + _).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("sig"), i * 4).bitwiseAND(lit(15L))): _*))
+        .as(Seq("band", "bval")))
+    val w = Window.partitionBy("band", "bval").orderBy("doc_id")
+    val a = banded.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= maxBucket)
+      .select(col("doc_id").as("a"), col("sig").as("ha"), col("band"), col("bval"))
+    val b = banded.select(col("doc_id").as("b"), col("sig").as("hb"), col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .where(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming").distinct()
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit simhash over whitespace tokens + 16-bit-band candidate pairs

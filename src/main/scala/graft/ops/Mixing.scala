@@ -64,6 +64,27 @@ object Mixing {
         expr(s"(offset + cum - tokens) div $shardTokens").as("shard_id"))
   }
 
+  /** Deterministic train/validation/test split, keyed on the CONTENT
+    * hash (portable md5 bucket), not the row id: byte-identical
+    * documents land in the same split by construction, so exact
+    * duplicates can never leak across the train/eval boundary — the
+    * first leakage a training pipeline must rule out. (Near-duplicate
+    * leakage is what [[Dedup.canonicalize]] upstream removes.)
+    *
+    * Permille thresholds: train < `trainPermille`, then validation up
+    * to `trainPermille + valPermille`, remainder test. Pure map-side
+    * expression — no shuffle, no sample-sort, reproducible across
+    * engines, reruns and cluster sizes.
+    */
+  def datasetSplit(docs: DataFrame, trainPermille: Int = 980,
+                   valPermille: Int = 10): DataFrame = {
+    val b = CurationPipeline.hashBucket(col("text"), 1000L)
+    docs.select(col("doc_id"), b.as("bucket"),
+      when(b < trainPermille, "train")
+        .when(b < trainPermille + valPermille, "validation")
+        .otherwise("test").as("split"))
+  }
+
   /** Corpus-level rarity score: mean inverse document frequency over a
     * document's word occurrences, ENTIRELY in fixed-point micro units —
     * per-word `floor(1e6 / df)` is bit-exact on both engines (IEEE

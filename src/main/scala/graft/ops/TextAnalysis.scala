@@ -137,4 +137,20 @@ object TextAnalysis {
         regexp_replace(col("t1"), phoneRe, "<PHONE>").as("text_scrubbed"),
         col("n_emails"),
         (size(split(col("t1"), phoneRe, -1)) - 1).as("n_phones"))
+
+  /** Tokenizer-vocabulary construction: the k most frequent whitespace
+    * tokens with a deterministic tie-break (count desc, then token asc —
+    * the boundary of the vocabulary is unambiguous even when the tail is
+    * flat, which a count-only sort would leave engine-dependent).
+    *
+    * Scale shape: the word count is a map-side partial agg shuffled on
+    * a vocabulary-bounded key (not corpus-bounded), and the `orderBy +
+    * limit` compiles to TakeOrderedAndProject — a per-partition bounded
+    * heap + driver merge of k rows, never a global sort of the vocab.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 1000): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
 }

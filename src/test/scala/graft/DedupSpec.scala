@@ -120,6 +120,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!members.contains(999L))
   }
 
+  test("portable simhash: identical docs at hamming 0, disjoint vocab apart") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0L),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0L),
+      (2L, "uno dos tres cuatro cinco seis siete ocho nueve", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.portableSimhashPairs(docs, maxHamming = 16).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // identical token stream -> identical 16-bit signature
+    assert(pairs((0L, 1L)) === 0)
+    // disjoint vocab -> independent signatures; pair only reported if it
+    // shares a nibble band, and then with a strictly positive hamming
+    pairs.filterKeys(p => p._2 == 2L).values.foreach(h => assert(h > 0))
+  }
+
   test("canonicalize is transitively consistent: one keeper per chain") {
     // pair-at-a-time dropping would keep both 1 and 3 of the chain
     // 1~2, 2~3; CC canonicalization keeps exactly one (the min id)

@@ -43,6 +43,31 @@ class MixingSpec extends AnyFunSuite {
     assert(out.length === 20) // all of src0, none of src1, src2 unlisted
   }
 
+  test("datasetSplit: exact duplicates share a split; thresholds partition") {
+    val docs = ((0L until 200L).map(i => (i, s"unique document body number $i")) ++
+      Seq((900L, "duplicated body"), (901L, "duplicated body")))
+      .toDF("doc_id", "text")
+    val out = Mixing.datasetSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size === 202)
+    // content-keyed: the byte-identical pair lands in the same split
+    assert(out(900L) === out(901L))
+    out.values.foreach { case (bucket, split) =>
+      val want = if (bucket < 980) "train"
+        else if (bucket < 990) "validation" else "test"
+      assert(split === want)
+      assert(bucket >= 0L && bucket < 1000L)
+    }
+  }
+
+  test("vocabTopK: frequency order with deterministic tie-break at the k boundary") {
+    // b and c tie at 2; k=2 must keep (a,3) and (b,2) — never c
+    val docs = Seq((1L, "a a a b"), (2L, "b c"), (3L, "c")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.vocabTopK(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a", 3L), ("b", 2L)))
+  }
+
   test("idfScore matches hand-computed fixed-point values") {
     val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
     // df: a=2, b=1, c=1 -> micro 500000 / 1000000; each doc:
