@@ -66,6 +66,49 @@ object Bench {
     (sec, n)
   }
 
+  /** Launch one pipeline leg in its own JVM, optionally pinned to the
+    * TOP `cores` CPUs via taskset (cpu0 services kernel IRQs — see the
+    * scaling-section comment). Shared by the strong-scaling (vary
+    * cores, fixed rows) and weak-scaling (fixed cores, vary rows)
+    * protocols. Returns (wall seconds, triples).
+    */
+  private def spawnLeg(cpus: Int, pin: Boolean, cores: Int, rows: Long,
+                       repos: Int, outDir: String): (Double, Long) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic").map("java.base/" + _) ++ Seq(
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+    val flags = addOpens.flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      sys.env.getOrElse("SPARK_GC", "-XX:+UseParallelGC"))
+    val prefix = if (pin) Seq("taskset", "-c", s"${cpus - cores}-${cpus - 1}")
+                 else Seq.empty
+    val cmd = prefix ++ Seq(javaBin, "-cp", cp) ++ flags ++
+      Seq("graft.ScaleLeg", rows.toString, repos.toString,
+        cores.toString, outDir)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    val rc = proc.waitFor()
+    // full-line regex: a line merely STARTING with SCALELEG (diag
+    // output, executor log) must not reach a destructuring MatchError
+    // that bypasses the require's diagnostic
+    val LegLine = """^SCALELEG (\S+) (\S+)$""".r
+    val line = out.linesIterator.collect {
+      case LegLine(sec, n) => (sec, n)
+    }.toSeq.lastOption
+    require(rc == 0 && line.isDefined, s"scale leg failed (rc=$rc): ${out.takeRight(500)}")
+    val (sec, n) = line.get
+    (sec.toDouble, n.toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -114,45 +157,12 @@ object Bench {
       // see ScaleLeg's scaladoc — an unpinned local[2] borrows idle host
       // cores for GC/JIT/IO threads and understates scaling.
       // SPARK_GRAFT_SCALE_PIN=0 drops the pinning (keeps the subprocess).
+      // pin to the TOP cores: cpu0 services kernel IRQs, and a 1-cpu
+      // leg sharing its only core with interrupt handling pays a noise
+      // tax the 4-cpu leg amortizes — an anti-scaling bias
       val pin = sys.env.getOrElse("SPARK_GRAFT_SCALE_PIN", "1") == "1"
-      def timed(c: Int): (Double, Long) = {
-        val javaBin = System.getProperty("java.home") + "/bin/java"
-        val cp = System.getProperty("java.class.path")
-        val addOpens = Seq(
-          "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
-          "java.net", "java.nio", "java.util", "java.util.concurrent",
-          "java.util.concurrent.atomic").map("java.base/" + _) ++ Seq(
-          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-          "java.base/sun.security.action", "java.base/sun.util.calendar")
-        val flags = addOpens.flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++ Seq(
-          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-          s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-          sys.env.getOrElse("SPARK_GC", "-XX:+UseParallelGC"))
-        // pin to the TOP cores: cpu0 services kernel IRQs, and a 1-cpu
-        // leg sharing its only core with interrupt handling pays a noise
-        // tax the 4-cpu leg amortizes — an anti-scaling bias
-        val prefix = if (pin) Seq("taskset", "-c", s"${cpus - c}-${cpus - 1}")
-                     else Seq.empty
-        val cmd = prefix ++ Seq(javaBin, "-cp", cp) ++ flags ++
-          Seq("graft.ScaleLeg", scaleRows.toString, scaleRepos.toString,
-            c.toString, s"/tmp/graft_scale_$c")
-        val pb = new ProcessBuilder(cmd: _*)
-        pb.redirectErrorStream(false)
-        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-        val proc = pb.start()
-        val out = new String(proc.getInputStream.readAllBytes())
-        val rc = proc.waitFor()
-        // full-line regex: a line merely STARTING with SCALELEG (diag
-        // output, executor log) must not reach a destructuring MatchError
-        // that bypasses the require's diagnostic
-        val LegLine = """^SCALELEG (\S+) (\S+)$""".r
-        val line = out.linesIterator.collect {
-          case LegLine(sec, n) => (sec, n)
-        }.toSeq.lastOption
-        require(rc == 0 && line.isDefined, s"scale leg failed (rc=$rc): ${out.takeRight(500)}")
-        val (sec, n) = line.get
-        (sec.toDouble, n.toLong)
-      }
+      def timed(c: Int): (Double, Long) =
+        spawnLeg(cpus, pin, c, scaleRows, scaleRepos, s"/tmp/graft_scale_$c")
       val pairs = (1 to reps).map { _ => (timed(coresA), timed(coresB)) }
       def effOf(p: ((Double, Long), (Double, Long))): Double = p match {
         case ((sa, na), (sb, nb)) => (nb / sb) / ((coresB.toDouble / coresA) * (na / sa))
@@ -176,6 +186,40 @@ object Bench {
         f""""cores_b":$coresB,"sec_b":$secB%.2f,"tps_b":$tpsB%.0f,"efficiency":$eff%.3f,""" +
         f""""eff_median":$median%.3f,"eff_band":$band,""" +
         f""""aqe":${sys.env.getOrElse("SPARK_GRAFT_SCALE_AQE", "0") == "1"},"pinned":$pin}"""
+    }
+
+    // --- 1b. weak scaling (data-size axis): same pinned core count,
+    // 1× vs 2× rows, cold JVMs. The north rule's scaling criterion has
+    // two axes a 100 TB deployment cares about — more executors on the
+    // same data (strong, section 1) and the same executors on more data
+    // (weak). Ideal weak efficiency is flat throughput: tps(2×)/tps(1×)
+    // = 1.0. A superlinear operator (anything hiding an all-pairs or a
+    // global sort) shows up here as tps collapsing with corpus size even
+    // when the strong ratio looks fine, so the two sections are
+    // complementary evidence, not redundancy. Back-to-back legs in one
+    // rep share a host-noise window; SPARK_GRAFT_WEAK_REPS adds pairs
+    // (best reported, band recorded, mirroring the strong protocol).
+    var weakJson = ""
+    val doWeak = sys.env.getOrElse("SPARK_GRAFT_WEAK", "1") == "1"
+    if (doWeak) {
+      val wCores = sys.env.getOrElse("SPARK_GRAFT_WEAK_CORES", "4").toInt
+      val wRows = sys.env.getOrElse("SPARK_GRAFT_WEAK_ROWS", benchRows.toString).toLong
+      val wReps = sys.env.getOrElse("SPARK_GRAFT_WEAK_REPS", "1").toInt
+      val pin = sys.env.getOrElse("SPARK_GRAFT_SCALE_PIN", "1") == "1"
+      def leg(rows: Long): (Double, Long) =
+        spawnLeg(cpus, pin, wCores, rows, math.max((rows / 1500).toInt, 1),
+          s"/tmp/graft_weak_$rows")
+      val wPairs = (1 to wReps).map { _ => (leg(wRows), leg(wRows * 2)) }
+      def weakEff(p: ((Double, Long), (Double, Long))): Double = p match {
+        case ((sa, na), (sb, nb)) => (nb / sb) / (na / sa)
+      }
+      val ((secA, nA), (secB, nB)) = wPairs.maxBy(weakEff)
+      val band = wPairs.map(weakEff).sorted.map(e => f"$e%.3f")
+        .mkString("[", ",", "]")
+      val tpsA = nA / secA; val tpsB = nB / secB
+      weakJson = f""","datascale":{"cores":$wCores,"rows_a":$wRows,"sec_a":$secA%.2f,""" +
+        f""""tps_a":$tpsA%.0f,"rows_b":${wRows * 2},"sec_b":$secB%.2f,"tps_b":$tpsB%.0f,""" +
+        f""""weak_efficiency":${tpsB / tpsA}%.3f,"weak_band":$band,"pinned":$pin}"""
     }
 
     // --- 2. headline: end-to-end pipeline triples/sec at full cores,
@@ -228,12 +272,13 @@ object Bench {
     val total = results.collect { case (_, Right(v)) => v }.sum + pipeSec
     val json =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir",""" +
-        f""""pipeline_rows":$benchRows,"triples":$nTriples,"triples_per_sec":$tps%.0f$headlineJson$scalingJson}"""
+        f""""pipeline_rows":$benchRows,"triples":$nTriples,"triples_per_sec":$tps%.0f$headlineJson$scalingJson$weakJson}"""
     // The committed BENCH.json is the canonical full-bench record: only a
     // FULL run (scaling + pipeline + complete query sweep, no errors) may
     // overwrite it; partial dev runs land in /tmp so an ONLY=q1 iteration
     // can't silently replace the record with a near-empty line.
-    val fullRun = doScaling && doPipeline && runQueries && only.isEmpty && errs.isEmpty
+    val fullRun = doScaling && doWeak && doPipeline && runQueries &&
+      only.isEmpty && errs.isEmpty
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (fullRun) new java.io.File("BENCH.json").getAbsolutePath
       else "/tmp/graft_bench_partial.json")
