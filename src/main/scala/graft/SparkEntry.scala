@@ -727,6 +727,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("tokens"), col("quality"))
         .orderBy("doc_id")
     }),
+    // the FULL five-stage curation composite with the near-dup stage on
+    // portable minhash — the one stage that kept curation_pipeline
+    // rows-only is now recomputed by the oracle too (candidates, bands,
+    // caps and all), so the whole composite is hash-proven
+    "curation_portable" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.ops.CurationPipeline.runPortable(t(s, dir, "documents"),
+        graft.ops.CurationPipeline.Config(minQuality = 0.1, tokenBudget = 20000L))
+        .select(col("doc_id"), col("lang"), col("tokens"), col("quality"))
+        .orderBy("doc_id")
+    }),
     // benchmark decontamination: distinct 8-grams vs a broadcast
     // benchmark set (docs ≡ 0 mod 97 stand in for an eval suite)
     "decontaminate" -> ((s, dir) => {
@@ -1000,33 +1011,10 @@ object SparkEntry {
     // rank<=64 hot-bucket cap, and the agreement count — stage for stage
     // the same arithmetic as Dedup.portableMinhashPairs
     "minhash_portable" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 5),
-        | pos AS (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM d),
-        | gr AS (SELECT doc_id,
-        |  (((((cast(ord(substr(text, cast(i as int), 1)) as bigint)) * 131
-        |     + ord(substr(text, cast(i as int)+1, 1))) * 131
-        |     + ord(substr(text, cast(i as int)+2, 1))) * 131
-        |     + ord(substr(text, cast(i as int)+3, 1))) * 131
-        |     + ord(substr(text, cast(i as int)+4, 1))) % 2147483647 AS g
-        |  FROM pos),
-        | hj AS (SELECT doc_id, j,
-        |  min(((7919 * (j + 1)) % 2147483647 * g + (104729 * (j + 1)) % 2147483647) % 2147483647) AS h
-        |  FROM gr CROSS JOIN (SELECT unnest(range(0, 16)) AS j) seeds
-        |  GROUP BY doc_id, j),
-        | band AS (SELECT doc_id, j // 4 AS band, string_agg(h::VARCHAR, ',' ORDER BY j) AS bkey
-        |  FROM hj GROUP BY doc_id, j // 4),
-        | rk AS (SELECT doc_id, band, bkey,
-        |  row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS r FROM band),
-        | cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-        |  FROM rk a JOIN band b USING (band, bkey)
-        |  WHERE a.r <= 64 AND a.doc_id < b.doc_id),
-        | scored AS (SELECT c.a, c.b,
-        |  cast(sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS BIGINT) AS n_match
-        |  FROM cand c
-        |  JOIN hj ha ON ha.doc_id = c.a
-        |  JOIN hj hb ON hb.doc_id = c.b AND hb.j = ha.j
-        |  GROUP BY c.a, c.b)
-        | SELECT a, b, n_match FROM scored WHERE n_match >= 13 ORDER BY a, b""".stripMargin,
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 5),
+         |${portableMinhashCtes("d")}
+         | SELECT a, b, cast(n_match as bigint) AS n_match
+         | FROM scored WHERE n_match >= 13 ORDER BY a, b""".stripMargin,
     "cc_sizes" ->
       """WITH o AS (SELECT doc_id, lang,
         |   CASE WHEN lag(lang) OVER w = lang AND lag(doc_id) OVER w = doc_id - 1
@@ -1059,6 +1047,7 @@ object SparkEntry {
         | FROM e, q WHERE e.vec_id <> 0
         | ORDER BY list_distance(e.v, q.qv), cast(e.vec_id as varchar) LIMIT 20""".stripMargin,
     "curation_exact" -> curationExactOracleSql,
+    "curation_portable" -> curationPortableOracleSql,
     // tie order inside the engine's top-k aggregator is (distance, dst
     // as string) — mirrored by the varchar cast in the window order
     "knn_graph" ->
@@ -1403,6 +1392,71 @@ object SparkEntry {
        | g AS (
        |  SELECT doc_id, lang, text, $tokSql AS tokens, $qualityExprSql AS quality
        |  FROM exact WHERE rn = 1),
+       | gated AS (SELECT * FROM g WHERE tokens >= $minTokens AND quality >= $minQuality),
+       | tot AS (SELECT sum(tokens) AS total FROM gated)
+       | SELECT doc_id, lang, cast(tokens as int) AS tokens, quality
+       | FROM gated, tot
+       | WHERE total <= $budget OR
+       |   (cast(concat('0x', substr(md5(text), 1, 8)) as bigint) % 1000000)
+       |     < cast(trunc(cast($budget as double) / total * 1000000) as bigint)
+       | ORDER BY doc_id""".stripMargin
+  }
+
+  /** The portable-minhash CTE chain over an input relation
+    * `src(doc_id, text)` (rows already length-filtered): positions →
+    * polynomial shingle hashes → 16 affine min-hashes mod 2³¹−1 →
+    * 4-slot band keys → rank ≤ 64 hot-bucket cap → candidate pairs →
+    * `scored(a, b, n_match)`. One definition feeds both the standalone
+    * minhash_portable oracle and the curation composite's near-dup
+    * stage so the two cannot drift apart.
+    */
+  private def portableMinhashCtes(src: String): String =
+    s""" pos AS (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM $src),
+       | gr AS (SELECT doc_id,
+       |  (((((cast(ord(substr(text, cast(i as int), 1)) as bigint)) * 131
+       |     + ord(substr(text, cast(i as int)+1, 1))) * 131
+       |     + ord(substr(text, cast(i as int)+2, 1))) * 131
+       |     + ord(substr(text, cast(i as int)+3, 1))) * 131
+       |     + ord(substr(text, cast(i as int)+4, 1))) % 2147483647 AS g
+       |  FROM pos),
+       | hj AS (SELECT doc_id, j,
+       |  min(((7919 * (j + 1)) % 2147483647 * g + (104729 * (j + 1)) % 2147483647) % 2147483647) AS h
+       |  FROM gr CROSS JOIN (SELECT unnest(range(0, 16)) AS j) seeds
+       |  GROUP BY doc_id, j),
+       | band AS (SELECT doc_id, j // 4 AS band, string_agg(h::VARCHAR, ',' ORDER BY j) AS bkey
+       |  FROM hj GROUP BY doc_id, j // 4),
+       | rk AS (SELECT doc_id, band, bkey,
+       |  row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS r FROM band),
+       | cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM rk a JOIN band b USING (band, bkey)
+       |  WHERE a.r <= 64 AND a.doc_id < b.doc_id),
+       | scored AS (SELECT c.a, c.b,
+       |  sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS n_match
+       |  FROM cand c
+       |  JOIN hj ha ON ha.doc_id = c.a
+       |  JOIN hj hb ON hb.doc_id = c.b AND hb.j = ha.j
+       |  GROUP BY c.a, c.b)""".stripMargin
+
+  /** curation_portable oracle: curationExactOracleSql's stages PLUS the
+    * near-dup drop, whose candidate pairs the oracle recomputes with the
+    * same portable minhash pipeline as the standalone minhash_portable
+    * oracle — run over the exact-dedup SURVIVORS, exactly as the engine
+    * does. minMatch 14/16 ≈ the production 0.85 Jaccard threshold.
+    */
+  private def curationPortableOracleSql: String = {
+    val budget = 20000L; val minTokens = 5; val minQuality = "0.1"
+    val minMatch = 14
+    s"""WITH exact AS (
+       |  SELECT doc_id, lang, text,
+       |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM documents),
+       | surv AS (SELECT doc_id, lang, text FROM exact WHERE rn = 1),
+       | d5 AS (SELECT doc_id, text FROM surv WHERE length(text) >= 5),
+       |${portableMinhashCtes("d5")},
+       | losers AS (SELECT DISTINCT b AS doc_id FROM scored WHERE n_match >= $minMatch),
+       | kept AS (SELECT s.doc_id, s.lang, s.text FROM surv s
+       |  LEFT JOIN losers l ON s.doc_id = l.doc_id WHERE l.doc_id IS NULL),
+       | g AS (SELECT doc_id, lang, text, $tokSql AS tokens, $qualityExprSql AS quality FROM kept),
        | gated AS (SELECT * FROM g WHERE tokens >= $minTokens AND quality >= $minQuality),
        | tot AS (SELECT sum(tokens) AS total FROM gated)
        | SELECT doc_id, lang, cast(tokens as int) AS tokens, quality

@@ -24,6 +24,24 @@ class CurationSpec extends AnyFunSuite {
     assert(!kept.contains(4L)) // quality-gated
   }
 
+  test("portable curation twin: near-dup loser dropped, distinct rows kept") {
+    val base = "the fast scan merge data join batch window sort filter " * 6
+    val pd = Seq(
+      (10L, base + "alpha ending", "en", "s0", 0L),
+      (11L, base + "omega ending", "en", "s0", 0L), // near-dup of 10
+      (12L, "completely different text body about nothing shared at all " * 6,
+        "en", "s0", 0L),
+      (13L, base + "alpha ending", "en", "s0", 0L) // exact dup of 10
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = CurationPipeline.runPortable(pd,
+        CurationPipeline.Config(minQuality = 0.0), minMatch = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(10L)) // exact + near-dup keeper (min id)
+    assert(!kept.contains(13L)) // exact dup dropped at stage 1
+    assert(!kept.contains(11L)) // near-dup dropped at stage 2
+    assert(kept.contains(12L)) // distinct survivor
+  }
+
   test("token budget sampling is deterministic and approximately bounded") {
     val many = spark.range(0, 500).selectExpr(
       "id AS doc_id",
