@@ -698,6 +698,23 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
       s.sql("SELECT DISTINCT a, b FROM graft_sneardup_q ORDER BY a, b")
     }),
+    // the portable streaming twin: keyed-state LSH anchors over PORTABLE
+    // band keys, so the DuckDB oracle replays banding + first-seen
+    // (min-id) anchors and the STREAMING near-dup machinery itself is
+    // hash-proven (streaming_neardup stays the avalanche production path)
+    "streaming_neardup_portable" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sneardup_p_q").toString
+      docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(docs.schema).parquet(tmp)
+      val q = graft.streaming.StreamingIngest.neardupStreamPortable(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_sneardup_p_q").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.sql("SELECT DISTINCT a, b FROM graft_sneardup_p_q ORDER BY a, b")
+    }),
     // the web-scale grid-DBSCAN path (ε-cell bucketing + contracted CC
     // over the CELL graph) timed in the sweep next to the exact entries
     // (kg_clusters, q26_dbscan), so the plan that runs at 100× is the
@@ -1126,6 +1143,19 @@ object SparkEntry {
         |   CASE source WHEN 'src0' THEN 900000 WHEN 'src1' THEN 500000
         |    WHEN 'src2' THEN 250000 ELSE 100000 END
         | ORDER BY doc_id""".stripMargin,
+    // replays streaming first-seen bucket anchors: with a single-batch
+    // source the anchor is the bucket MINIMUM, so the pair set is
+    // (anchor, member) over the portable band buckets
+    "streaming_neardup_portable" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 5),
+         |${portableMinhashCtes("d")},
+         | anchors AS (SELECT band, bkey, min(doc_id) AS anchor
+         |  FROM band GROUP BY band, bkey),
+         | pairs AS (SELECT DISTINCT least(b.doc_id, a.anchor) AS a,
+         |     greatest(b.doc_id, a.anchor) AS b
+         |  FROM band b JOIN anchors a USING (band, bkey)
+         |  WHERE b.doc_id <> a.anchor)
+         | SELECT a, b FROM pairs ORDER BY a, b""".stripMargin,
     "dataset_split" ->
       """WITH b AS (SELECT doc_id,
         |   cast(concat('0x', substr(md5(text), 1, 8)) as bigint) % 1000 AS bucket

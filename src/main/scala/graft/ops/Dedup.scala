@@ -165,6 +165,21 @@ object Dedup {
       }.toDF("doc_id", "signature")
   }
 
+  /** (doc_id, band, bkey) portable band keys over
+    * [[portableMinhashSignatures]] output: the band's signature slice
+    * joined as text — no engine hash in the bucket key. Shared by the
+    * batch pair join, the streaming keyed-state twin and the specs so
+    * every consumer sees identical buckets.
+    */
+  def portableBandKeys(signatures: DataFrame, bands: Int,
+                       numHashes: Int): DataFrame = {
+    val r = numHashes / bands
+    signatures.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, $bands - 1), " +
+        s"b -> array_join(transform(slice(signature, b * $r + 1, $r), " +
+        s"x -> cast(x as string)), ','))")).as(Seq("band", "bkey")))
+  }
+
   /** Banded near-dup pairs over [[portableMinhashSignatures]]; band key
     * is the signature slice itself (joined as text) — no engine hash in
     * the bucket key either, so the whole pair stream is recomputable
@@ -175,13 +190,9 @@ object Dedup {
                            shingle: Int = 5, minMatch: Int = 13,
                            maxBucket: Int = 64)(
       implicit spark: SparkSession): DataFrame = {
-    val r = numHashes / bands
     val sigs = portableMinhashSignatures(docs, numHashes, shingle)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("doc_id"),
-      posexplode(expr(s"transform(sequence(0, $bands - 1), " +
-        s"b -> array_join(transform(slice(signature, b * $r + 1, $r), " +
-        s"x -> cast(x as string)), ','))")).as(Seq("band", "bkey")))
+    val banded = portableBandKeys(sigs, bands, numHashes)
     val w = Window.partitionBy("band", "bkey").orderBy("doc_id")
     val a = banded.withColumn("rk", row_number().over(w))
       .where(col("rk") <= maxBucket)

@@ -122,4 +122,37 @@ object StreamingIngest {
       }
       .toDF("a", "b")
   }
+
+  /** Portable-arithmetic twin of [[neardupStream]]: signatures and band
+    * keys come from [[graft.ops.Dedup.portableMinhashSignatures]] /
+    * `portableBandKeys` — no engine-internal hash anywhere in the
+    * bucket keys — so the anchor-pair stream this emits is recomputable
+    * by an external engine: the DuckDB oracle replays banding +
+    * first-seen (min-id) anchors and must reproduce the pair set
+    * exactly. Same keyed-state shape, state size and scale behavior as
+    * the production variant; what changes is only that the machinery
+    * becomes externally checkable, which a streaming dedup deployment
+    * needs for audits as much as a batch one does.
+    */
+  def neardupStreamPortable(docs: DataFrame, numHashes: Int = 16,
+                            bands: Int = 4, shingle: Int = 5)(
+      implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val sigs = graft.ops.Dedup.portableMinhashSignatures(docs, numHashes, shingle)
+    graft.ops.Dedup.portableBandKeys(sigs, bands, numHashes)
+      .as[(Long, Int, String)]
+      .groupByKey { case (_, band, bk) => (band, bk) }
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[(Long, Int, String)], state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray
+          val anchor =
+            if (state.exists) state.get
+            else { val a = ids.min; state.update(a); a }
+          ids.iterator.filter(_ != anchor)
+            .map(d => if (d < anchor) (d, anchor) else (anchor, d))
+      }
+      .toDF("a", "b")
+  }
 }

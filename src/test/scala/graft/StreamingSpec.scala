@@ -113,6 +113,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming.nonEmpty)
   }
 
+  test("portable streaming near-dup == batch portable banding at rank-1 anchors") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.{col, min => fmin}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_p").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = StreamingIngest.neardupStreamPortable(stream)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_port")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streaming = spark.sql("SELECT DISTINCT a, b FROM neardup_port")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: identical portable buckets, anchor = bucket minimum
+    val keys = graft.ops.Dedup.portableBandKeys(
+      graft.ops.Dedup.portableMinhashSignatures(docs), bands = 4, numHashes = 16)
+    val anchors = keys.groupBy("band", "bkey").agg(fmin("doc_id").as("anchor"))
+    val batch = keys.join(anchors, Seq("band", "bkey"))
+      .where(col("doc_id") =!= col("anchor"))
+      .selectExpr("least(doc_id, anchor) AS a", "greatest(doc_id, anchor) AS b")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streaming === batch)
+    assert(streaming.nonEmpty)
+  }
+
   test("streaming mention scorer == batch extractor totals") {
     import spark.implicits._
     val corpus = SparkEntry.docsCorpus(spark, sfDir)
