@@ -10,6 +10,10 @@ object SparkTestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
+      // CLAUDE.md: constraint propagation is superlinear on the
+      // wide-alias kNN/lineage plans — every session in this repo
+      // disables it (GraftSession, Verify, Explain do too)
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
