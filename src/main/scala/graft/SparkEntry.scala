@@ -363,6 +363,26 @@ object SparkEntry {
           round(col("distance"), 6).as("distance"))
         .orderBy("src", "distance", "dst")),
 
+    // the POSITIONAL-BLOCK linearized-LSH kNN — the engine's web-scale
+    // candidate plan (tag → bucket → order-projection → ±window pairing →
+    // bounded top-k aggregator) — with PORTABLE md5-derived hyperplanes,
+    // so the DuckDB oracle replays every stage (signature bits, bucket
+    // order, window pairing, (distance, dst-string) tie rule) and the
+    // whole machinery is hash-proven with REAL bucketing (16 sign
+    // buckets per group, candidates a strict subset). knn_graph stays
+    // the exact-path gate; CanonSpec pins the production variant's recall.
+    "knn_portable" -> ((s, dir) => {
+      val feat = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("string").as("id"),
+          col("label").cast("long").as("group"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      graft.canon.KnnJoin.approxTopK(feat, 5, tables = 1, bits = 4,
+          window = 8, portable = true)
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+          round(col("distance"), 6).as("distance"))
+        .orderBy("src", "dst")
+    }),
+
     // --- B3/B13 heading-bin arithmetic with the reference's +180 offset ---
 
     "q18_heading_bins" -> ((s, dir) =>
@@ -526,6 +546,27 @@ object SparkEntry {
       val base = emb.where(col("vec_id") =!= 0)
       SimilaritySearch.lshTopKFull(base, q, 20, n = base.count().toInt + 1)
         .select(col("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
+    // PORTABLE twins with REAL probing (candidates a strict subset, unlike
+    // the full-probe gates): md5-ranked seed centroids / md5-derived
+    // hyperplanes, Euclidean argmin with index tie-break — every stage
+    // recomputable in plain SQL, so the DuckDB oracle replays centroid
+    // choice → inverted lists → probing → exact re-rank (IVF) and plane
+    // generation → sign buckets → probe → re-rank (LSH) bit-for-bit.
+    // ann_ivf_topk / ann_lsh_topk stay the engine-hash production variants.
+    "ann_ivf_portable" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      SimilaritySearch.ivfTopKPortable(emb.where(col("vec_id") =!= 0), q, 20)
+    }),
+    "ann_lsh_portable" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      SimilaritySearch.lshTopKPortable(emb.where(col("vec_id") =!= 0), q, 20)
     }),
     "minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -1063,6 +1104,47 @@ object SparkEntry {
         | SELECT e.vec_id, round(list_distance(e.v, q.qv), 6) AS distance
         | FROM e, q WHERE e.vec_id <> 0
         | ORDER BY list_distance(e.v, q.qv), cast(e.vec_id as varchar) LIMIT 20""".stripMargin,
+    // replays the PORTABLE IVF stage for stage: md5-ranked seed
+    // centroids (cid = rank), Euclidean argmin assignment (ties by cid —
+    // matching the engine's strict-< fold), nProbe=2 probe set, exact
+    // cosine re-rank. Real probing: the candidate set is a strict
+    // subset of the corpus, and the oracle must still match bit-for-bit.
+    "ann_ivf_portable" ->
+      """WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+        | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        | hb AS (SELECT vec_id, v,
+        |    cast(concat('0x', substr(md5(cast(vec_id as varchar)), 1, 8)) as bigint) % 1000000 AS h
+        |  FROM e WHERE vec_id <> 0),
+        | cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v AS cv
+        |   FROM hb ORDER BY h, vec_id LIMIT 8),
+        | assign AS (SELECT t.vec_id, t.v, c.cid,
+        |     row_number() OVER (PARTITION BY t.vec_id
+        |       ORDER BY list_distance(t.v, c.cv), c.cid) AS rk
+        |   FROM hb t CROSS JOIN cents c),
+        | probe AS (SELECT c.cid FROM cents c, q
+        |   ORDER BY list_distance(c.cv, q.qv), c.cid LIMIT 2)
+        | SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+        | FROM assign a, q
+        | WHERE a.rk = 1 AND a.cid IN (SELECT cid FROM probe)
+        | ORDER BY cosine DESC, a.vec_id LIMIT 20""".stripMargin,
+    // replays the PORTABLE sign-projection LSH: hyperplane coordinates
+    // from the md5 of '<bit>_<dim>' (8-hex parse, % 2001 − 1000, /1000),
+    // bucket = the 4-bit sign pattern of the dot products, query probes
+    // only its own bucket, exact Euclidean re-rank
+    "ann_lsh_portable" ->
+      """WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+        | planes AS (SELECT b, list_transform(generate_series(0, 63),
+        |     d -> ((cast(concat('0x', substr(md5(concat(b, '_', d)), 1, 8)) as bigint) % 2001) - 1000) / 1000.0) AS p
+        |   FROM generate_series(0, 3) t(b)),
+        | sigs AS (SELECT e.vec_id,
+        |     string_agg(CASE WHEN list_inner_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END, '' ORDER BY pl.b) AS bucket
+        |   FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+        | q AS (SELECT e.v AS qv, s.bucket AS qbucket
+        |   FROM e JOIN sigs s USING (vec_id) WHERE e.vec_id = 0)
+        | SELECT e.vec_id, round(list_distance(e.v, q.qv), 6) AS distance
+        | FROM e JOIN sigs s USING (vec_id), q
+        | WHERE e.vec_id <> 0 AND s.bucket = q.qbucket
+        | ORDER BY list_distance(e.v, q.qv), e.vec_id LIMIT 20""".stripMargin,
     "curation_exact" -> curationExactOracleSql,
     "curation_portable" -> curationPortableOracleSql,
     // tie order inside the engine's top-k aggregator is (distance, dst
@@ -1075,6 +1157,37 @@ object SparkEntry {
         |         ORDER BY list_distance(a.v, b.v), cast(b.vec_id as varchar)) AS rn
         |       FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
         | SELECT src, dst, distance FROM p WHERE rn <= 5 ORDER BY src, distance, dst""".stripMargin,
+    // replays the positional-block linearized LSH stage for stage:
+    // md5-derived planes (key '0_<bit>_<dim>' — table 0), 4 signature
+    // sign bits + the order projection (plane 4), row_number bucket
+    // positions ordered by (proj, id-as-varchar) exactly like the
+    // engine, ±8-window pairing, both directions, top-5 per src with
+    // the aggregator's (distance, dst-as-string) tie rule
+    "knn_portable" ->
+      """WITH e AS (SELECT cast(vec_id as varchar) AS id, cast(label as bigint) AS grp,
+        |     cast(embedding as double[]) AS v FROM embeddings),
+        | pl AS (SELECT b, list_transform(generate_series(0, 63),
+        |     d -> ((cast(concat('0x', substr(md5(concat('0_', b, '_', d)), 1, 8)) as bigint) % 2001) - 1000) / 1000.0) AS p
+        |   FROM generate_series(0, 4) t(b)),
+        | sg AS (SELECT e.id,
+        |     sum(CASE WHEN pl.b <= 3 AND list_inner_product(e.v, pl.p) >= 0
+        |          THEN (1 << pl.b) ELSE 0 END) AS sig,
+        |     max(CASE WHEN pl.b = 4 THEN list_inner_product(e.v, pl.p) END) AS proj
+        |   FROM e CROSS JOIN pl GROUP BY e.id),
+        | posed AS (SELECT e.id, e.grp, e.v, s.sig, s.proj,
+        |     row_number() OVER (PARTITION BY e.grp, s.sig ORDER BY s.proj, e.id) AS pos
+        |   FROM e JOIN sg s USING (id)),
+        | pairs AS (SELECT a.id AS src, b.id AS dst, list_distance(a.v, b.v) AS distance
+        |   FROM posed a JOIN posed b ON a.grp = b.grp AND a.sig = b.sig
+        |    AND b.pos - a.pos BETWEEN 1 AND 8),
+        | bidir AS (SELECT src, dst, distance FROM pairs
+        |   UNION ALL SELECT dst AS src, src AS dst, distance FROM pairs),
+        | ranked AS (SELECT src, dst, distance,
+        |     row_number() OVER (PARTITION BY src ORDER BY distance, dst) AS rk
+        |   FROM bidir)
+        | SELECT cast(src as bigint) AS src, cast(dst as bigint) AS dst,
+        |   round(distance, 6) AS distance
+        | FROM ranked WHERE rk <= 5 ORDER BY src, dst""".stripMargin,
     // hash-min CC == min reachable vertex id; the closure is enumerable
     // at oracle scale via a recursive CTE over the symmetrized 3-NN graph
     "cc_components" ->

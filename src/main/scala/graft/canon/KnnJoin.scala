@@ -162,7 +162,8 @@ object KnnJoin {
     */
   def approxTopK(feat: DataFrame, k: Int, tables: Int = 4, bits: Int = 8,
                  seed: Long = 42L, selfRank: Boolean = false,
-                 window: Int = 8, compact: Boolean = false): DataFrame = {
+                 window: Int = 8, compact: Boolean = false,
+                 portable: Boolean = false): DataFrame = {
     // compact: carry the vectors through the candidate shuffle as
     // array<float> — half the bytes on the highest-volume stream in the
     // engine (distances still accumulate in double; ranking shifts only
@@ -177,11 +178,17 @@ object KnnJoin {
     val featIn = if (compact)
       feat.withColumn("vec", col("vec").cast("array<float>")) else feat
     val dims = 64 // upper bound on vec length used for plane generation
-    // signature per table: sum over bits of sign(dot(vec, plane)) << bit
-    def planeCoef(t: Int, bit: Int, d: Int): Double = {
-      val h = graft.core.Rng.mix(seed + t * 1000003L, bit * 131L + d)
-      (h >>> 11) * 1.1102230246251565e-16 * 2.0 - 1.0
-    }
+    // signature per table: sum over bits of sign(dot(vec, plane)) << bit.
+    // portable=true swaps the avalanche-mixed coefficients for the
+    // md5-derived portable formula (key "<table>_<bit>_<dim>") so an
+    // external SQL engine regenerates the identical hyperplanes — the
+    // oracle gate for the positional-block machinery; seed is ignored.
+    def planeCoef(t: Int, bit: Int, d: Int): Double =
+      if (portable) graft.ops.SimilaritySearch.portablePlaneCoef(s"${t}_${bit}_${d}")
+      else {
+        val h = graft.core.Rng.mix(seed + t * 1000003L, bit * 131L + d)
+        (h >>> 11) * 1.1102230246251565e-16 * 2.0 - 1.0
+      }
     def plane(t: Int, bit: Int): Column =
       lit((0 until dims).map(d => planeCoef(t, bit, d)).toArray)
     def signature(t: Int): Column = {

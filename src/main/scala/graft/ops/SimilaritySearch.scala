@@ -165,6 +165,111 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** PORTABLE-arithmetic seed centroids: the C vectors with the
+    * smallest (md5-bucket, vec_id) key — the same `hashBucket` recipe
+    * the portable curation/dedup twins use — so an external engine can
+    * recompute the exact centroid set (and therefore the exact inverted
+    * lists) with plain SQL. Ordered collect ⇒ centroid index = rank.
+    */
+  private[graft] def portableSeedCentroids(embeddings: DataFrame, c: Int): Array[Array[Double]] =
+    embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("vec"),
+        CurationPipeline.hashBucket(col("vec_id").cast("string")).as("h"))
+      .orderBy("h", "vec_id").limit(c)
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+
+  /** [[nearestCentroid]] on EUCLIDEAN (sqrt) distance: both engines then
+    * compare the identical correctly-rounded sqrt doubles, so the argmin
+    * (strict `<` ⇒ lowest index wins ties) is replayable by an external
+    * engine ordering on its own Euclidean distance + index. (Comparing
+    * raw squared distances against an oracle that sorts by sqrt values
+    * has a corner where two unequal squares round to one sqrt.)
+    */
+  private def nearestCentroidL2(vecCol: Column, cents: Array[Array[Double]]): Column = {
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    aggregate(
+      sequence(lit(0), lit(cents.length - 1)),
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("i")),
+      (acc, i) => {
+        val d = sqrt(graft.core.VectorExprs.sq_dist(vecCol, element_at(centsLit, i + 1)))
+        when(d < acc("d"), struct(d.as("d"), i.as("i"))).otherwise(acc)
+      }
+    )("i")
+  }
+
+  /** PORTABLE IVF twin of [[ivfTopK]] with REAL probing (nProbe < C —
+    * unlike the full-probe gate, the candidate set is a strict subset):
+    * centroids are the portable md5-ranked sample, assignment is the
+    * Euclidean argmin above, and the probe set is the nProbe centroids
+    * nearest the query (same left-to-right sqrt arithmetic, ties by
+    * index). Every stage is recomputable in plain SQL, so the DuckDB
+    * oracle replays centroid choice → inverted lists → probing → exact
+    * re-rank and must reproduce the result bit-for-bit. Same plan shape
+    * and scale behavior as the production variant (broadcast argmin,
+    * map-only assignment, candidate set ≈ nProbe/C of the corpus).
+    */
+  def ivfTopKPortable(embeddings: DataFrame, query: Array[Double], k: Int,
+                      centroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val v = expr("transform(embedding, x -> cast(x as double))")
+    val cents = portableSeedCentroids(embeddings, centroids)
+    val assigned = embeddings.select(col("vec_id"), v.as("vec"))
+      .withColumn("bucket", nearestCentroidL2(col("vec"), cents))
+    val probe = cents.zipWithIndex.map { case (c, i) =>
+      (math.sqrt(c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum), i)
+    }.sorted.take(nProbe).map(_._2)
+    assigned.where(col("bucket").isin(probe: _*))
+      .select(col("vec_id"), round(cosine(col("vec"), lit(query)), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** PORTABLE random-hyperplane components: unit-cube coordinates
+    * derived from the md5 of `"<bit>_<dim>"` — the same 8-hex-digit
+    * parse the other portable twins use, so an external engine generates
+    * the identical hyperplanes with plain SQL.
+    */
+  private[graft] def portablePlanes(bits: Int, dims: Int,
+                                    prefix: String = ""): Array[Array[Double]] =
+    Array.tabulate(bits, dims)((b, d) => portablePlaneCoef(s"$prefix${b}_${d}"))
+
+  /** One md5-derived unit-cube coordinate for key `"<bit>_<dim>"` (or
+    * `"<table>_<bit>_<dim>"`): 8-hex parse, % 2001 − 1000, /1000 — the
+    * exact integer arithmetic a SQL engine reproduces from its own md5.
+    */
+  private[graft] def portablePlaneCoef(key: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8")).map(x => f"$x%02x").mkString.take(8)
+    ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+  }
+
+  /** PORTABLE sign-projection LSH twin of [[lshTopK]] with REAL
+    * bucketing (2^bits buckets — the query probes only its own): the
+    * hyperplanes are the md5-derived literals above and the bucket key
+    * is the sign pattern of the dot products, so the DuckDB oracle
+    * replays plane generation → bucketing → probe → exact re-rank. The
+    * query's bucket is computed by the SAME Catalyst `bucketOf`
+    * expression over the query literal — foldable, so it constant-folds
+    * into the probe predicate (Catalyst eval, not hand-rolled driver
+    * arithmetic) and the whole probe is a map-only filter: no join, no
+    * shuffle before the bounded top-k.
+    */
+  def lshTopKPortable(embeddings: DataFrame, query: Array[Double], k: Int,
+                      bits: Int = 4): DataFrame = {
+    val planes = portablePlanes(bits, query.length)
+    def bucketOf(v: Column): Column =
+      concat(planes.map(p =>
+        when(dot(v, lit(p)) >= 0, lit("1")).otherwise(lit("0"))).toIndexedSeq: _*)
+    val qlit = lit(query)
+    embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      .where(bucketOf(col("vec")) === bucketOf(qlit))
+      .withColumn("dist", sqrt(graft.core.VectorExprs.sq_dist(col("vec"), qlit)))
+      .orderBy(asc("dist"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("dist"), 6).as("distance"))
+  }
+
   /** All-pairs top-k neighbor edges (per-label groups): the batch ANN
     * used for embedding-space graph building.
     */

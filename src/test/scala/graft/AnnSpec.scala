@@ -67,4 +67,33 @@ class AnnSpec extends AnyFunSuite {
     assert(r4 >= 0.9, s"recall@20 nProbe=4 was $r4")
     assert(r4 >= r1, s"recall must not fall as nProbe grows ($r1 -> $r4)")
   }
+
+  test("portable IVF: full probe equals brute force, nProbe=2 keeps a recall floor") {
+    val exact = SimilaritySearch.bruteForceTopK(rest, query, 20)
+      .collect().map(_.getLong(0)).toSet
+    // probing every inverted list must reduce to exact k-NN — proves the
+    // portable assignment + probe machinery loses nothing by itself
+    val full = SimilaritySearch.ivfTopKPortable(rest, query, 20,
+      centroids = 8, nProbe = 8).collect().map(_.getLong(0)).toSet
+    assert(full === exact)
+    val sub = SimilaritySearch.ivfTopKPortable(rest, query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & sub).size.toDouble / exact.size
+    info(s"portable IVF recall@20 at nProbe=2/8: $recall")
+    // isotropic synthetic corpus: floor ≈ nProbe/C; real data clusters
+    assert(recall >= 0.1, s"portable IVF recall $recall")
+    val again = SimilaritySearch.ivfTopKPortable(rest, query, 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === sub, "portable IVF must be deterministic")
+  }
+
+  test("portable LSH: self-bucket probe, sorted exact distances, deterministic") {
+    val got = SimilaritySearch.lshTopKPortable(rest, query, 20).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    val d = got.map(_.getDouble(1))
+    assert(d.zip(d.tail).forall { case (a, b) => a <= b }, "distances must ascend")
+    val again = SimilaritySearch.lshTopKPortable(rest, query, 20).collect()
+    assert(again.map(_.getLong(0)).toSeq === got.map(_.getLong(0)).toSeq,
+      "portable LSH must be deterministic")
+  }
 }

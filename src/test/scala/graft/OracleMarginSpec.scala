@@ -102,6 +102,57 @@ class OracleMarginSpec extends AnyFunSuite {
     info(f"min |size_raw - 1.5| gate distance (identical-arithmetic, informational): $gm%.2e")
   }
 
+  test("portable ANN twins keep decision margins and round-6 grid clearance") {
+    // ann_ivf_portable / ann_lsh_portable reach every intermediate value
+    // via the same IEEE op order on both engines, but the COMPARISONS
+    // (argmin over centroids, the nProbe cut, the sign of a projection)
+    // ride library code that differs (sqrt∘sq_dist vs list_distance,
+    // vec_dot vs list_inner_product) — a 1-ulp divergence at a decision
+    // boundary would flip a bucket on one engine only. Margins must
+    // dominate that noise; the final round-6 grid margin guards the
+    // Spark-BigDecimal vs DuckDB-float rounding split (CLAUDE.md).
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("v")).collect()(0).getSeq[Double](0).toArray
+    val rest = emb.where(col("vec_id") =!= 0).localCheckpoint(true)
+
+    val cents = SimilaritySearch.portableSeedCentroids(
+      spark.read.parquet(s"$dir/embeddings.parquet").where(col("vec_id") =!= 0), 8)
+    val dcols = array(cents.map(c =>
+      sqrt(graft.core.VectorExprs.sq_dist(col("v"), lit(c)))).toIndexedSeq: _*)
+    val gap = rest.select(sort_array(dcols).as("d"))
+      .select((element_at(col("d"), 2) - element_at(col("d"), 1)).as("g"))
+      .agg(min("g")).collect()(0).getDouble(0)
+    info(f"IVF min best-vs-second centroid gap: $gap%.2e")
+    assert(gap > 1e-9, f"a vector's two nearest centroids sit $gap%.2e apart")
+
+    val qd = cents.map(c =>
+      math.sqrt(c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)).sorted
+    info(f"IVF probe cut (2nd vs 3rd centroid to query): ${qd(2) - qd(1)}%.2e")
+    assert(qd(2) - qd(1) > 1e-9, "the nProbe=2 cut sits on a distance tie")
+
+    val planes = SimilaritySearch.portablePlanes(4, query.length)
+    val adots = array(planes.map(p =>
+      abs(graft.core.VectorExprs.vec_dot(col("v"), lit(p)))).toIndexedSeq: _*)
+    val minDot = rest.select(array_min(adots).as("m"))
+      .agg(min("m")).collect()(0).getDouble(0)
+    val qMinDot = planes.map(p =>
+      math.abs(p.zip(query).map { case (a, b) => a * b }.sum)).min
+    info(f"LSH min |projection| (corpus $minDot%.2e, query $qMinDot%.2e)")
+    assert(minDot > 1e-9 && qMinDot > 1e-9,
+      "a sign projection sits at the hyperplane — bucket could flip cross-engine")
+
+    val qlit = lit(query)
+    val r6cos = rest
+      .select(SimilaritySearch.cosine(col("v"), qlit).as("c"))
+      .agg(min(roundMargin(col("c"), 6))).collect()(0).getDouble(0)
+    val r6dist = rest
+      .select(sqrt(graft.core.VectorExprs.sq_dist(col("v"), qlit)).as("d"))
+      .agg(min(roundMargin(col("d"), 6))).collect()(0).getDouble(0)
+    info(f"round-6 margins: cosine $r6cos%.2e, distance $r6dist%.2e")
+    assert(r6cos > 1e-9 && r6dist > 1e-9,
+      "an emitted ANN value sits on the round-6 grid boundary")
+  }
+
   test("round-6 boundaries of the corpus-ratio oracles decide identically cross-engine") {
     // These oracles compute their ratio with IDENTICAL IEEE arithmetic
     // on both engines, but the final round(x, 6) is implemented
