@@ -876,6 +876,21 @@ object SparkEntry {
     // boundary (count ties broken by word) is actually exercised
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(t(s, dir, "documents"), k = 20)),
+    // CCNet-style LM quality scoring: add-one bigram model on the
+    // md5-content train slice, every doc scored by INTEGER quantized
+    // surprisal (floor-log2 via unpadded bin() — no transcendental
+    // reaches a value, so the oracle replays fit + scoring bit-exactly)
+    "lm_perplexity" -> ((s, dir) =>
+      graft.ops.LanguageModel.perplexityScore(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+    // quantized-integer BM25 keyword retrieval: "dup" is the corpus's
+    // one rare term (df 25/500 — exercises the floor-log2 idf AND its
+    // linear-interpolation milli fraction); the common terms clamp to
+    // idf 0 exactly where Lucene clamps (df > N/2), so the zero branch
+    // is exercised too
+    "bm25_topk" -> ((s, dir) =>
+      graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"),
+        Seq("dup", "key", "merge", "vector"), k = 15)),
     "pca_reduce" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // deterministic PCA twin (sign-canonicalized, integer-sum fit) —
@@ -1282,6 +1297,59 @@ object SparkEntry {
       """SELECT word, cast(count(*) as bigint) AS n
         | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         | GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // replays the bigram LM stage for stage: md5-content train slice,
+    // add-one bigram/context counts, V = train vocab, per-bigram
+    // integer surprisal length(bin((cc+V)//(c+1)))-1 (bin is unpadded
+    // in both engines), order-free sums, truncating int division
+    "lm_perplexity" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |   CASE WHEN cast(concat('0x', substr(md5(text), 1, 8)) as bigint) % 1000 < 500
+        |        THEN 1 ELSE 0 END AS is_train FROM documents),
+        | big AS (SELECT doc_id, is_train,
+        |     unnest(list_transform(generate_series(1, len(w) - 1),
+        |       i -> concat(w[i], ' ', w[i + 1]))) AS g FROM d),
+        | cnts AS (SELECT g, count(*) AS c FROM big WHERE is_train = 1 GROUP BY g),
+        | ctx AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS cc
+        |   FROM big WHERE is_train = 1 GROUP BY 1),
+        | v AS (SELECT count(DISTINCT x) AS vv
+        |   FROM (SELECT unnest(w) AS x FROM d WHERE is_train = 1)),
+        | sc AS (SELECT b.doc_id, b.is_train,
+        |     coalesce(c.c, 0) AS c, coalesce(x.cc, 0) AS cc
+        |   FROM big b LEFT JOIN cnts c ON b.g = c.g
+        |   LEFT JOIN ctx x ON split_part(b.g, ' ', 1) = x.w1),
+        | per AS (SELECT doc_id, is_train,
+        |     cast(count(*) as bigint) AS n_bigrams,
+        |     cast(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) as bigint) AS oov_bigrams,
+        |     cast(sum(length(bin((cc + vv) // (c + 1))) - 1) as bigint) AS total_bits
+        |   FROM sc, v GROUP BY doc_id, is_train)
+        | SELECT doc_id, is_train, n_bigrams, oov_bigrams, total_bits,
+        |   (1000 * total_bits) // n_bigrams AS bpb_milli
+        | FROM per ORDER BY doc_id""".stripMargin,
+    // replays the quantized BM25: floor-log2 idf on the exact rational
+    // (2(N-df)+1)/(2df+1) with the milli interpolation fraction,
+    // Lucene-style clamp at df > N/2, milli tf saturation with the
+    // identical truncating division points, (score desc, doc_id) top-k
+    "bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | st AS (SELECT count(*) AS n, (1000 * sum(len(w))) // count(*) AS avgmilli FROM d),
+        | hits AS (SELECT doc_id, len(w) AS len, unnest(w) AS t FROM d),
+        | h AS (SELECT * FROM hits WHERE t IN ('dup', 'key', 'merge', 'vector')),
+        | tf AS (SELECT doc_id, t, max(len) AS len, count(*) AS tf FROM h GROUP BY 1, 2),
+        | dfs AS (SELECT t, count(DISTINCT doc_id) AS df FROM h GROUP BY 1),
+        | sc AS (SELECT f.doc_id, f.tf, f.len, 2 * (st.n - x.df) + 1 AS aa,
+        |     2 * x.df + 1 AS bb, st.avgmilli
+        |   FROM tf f JOIN dfs x USING (t), st),
+        | q AS (SELECT *, CASE WHEN aa >= bb THEN length(bin(aa // bb)) - 1
+        |     ELSE -1 END AS bits FROM sc),
+        | i AS (SELECT *, CASE WHEN bits < 0 THEN 0 ELSE bits * 1000
+        |     + (1000 * aa) // (bb * (1 << bits)) - 1000 END AS idf_milli FROM q),
+        | z AS (SELECT doc_id, idf_milli *
+        |     ((1000 * tf * (100 + 120)) //
+        |      (100 * tf + (120 * (1000 - 10 * 75
+        |        + (75 * ((1000000 * len) // avgmilli)) // 100)) // 1000)) AS contrib
+        |   FROM i)
+        | SELECT doc_id, cast(sum(contrib) as bigint) AS score_micro
+        | FROM z GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 15""".stripMargin,
     // full replay of the portable simhash: md5-nibble token values,
     // bit-majority vote per doc, nibble band buckets with the rank<=64
     // cap, Hamming verify on the 16-bit signatures

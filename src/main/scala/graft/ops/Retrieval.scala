@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the corpus: top-k documents for a bag of
+  * query terms under a QUANTIZED-INTEGER BM25 — the ranking a
+  * training-data engine needs for corpus exploration, targeted
+  * decontamination probes and eval-set leakage hunts.
+  *
+  * Cross-engine determinism, same discipline as [[LanguageModel]]:
+  * no transcendental reaches a value. The Robertson idf
+  * log2((N − df + 0.5)/(df + 0.5)) is computed on the EXACT rational
+  * (2(N − df) + 1)/(2df + 1) as integer floor-log2 (unpadded `bin`)
+  * plus a linear-interpolation milli fraction — monotone in df,
+  * clamped at 0 once df > N/2 exactly where Lucene clamps. The tf
+  * saturation tf·(k1+1)/(tf + k1·(1 − b + b·len/avg)) runs in milli
+  * fixed point with truncating `div`s at documented points, k1/b as
+  * centi parameters (defaults 1.2 / 0.75). Scores are exact int64
+  * micro units: bit-identical on any engine that replays the formula.
+  *
+  * Scale shape: one map-side explode that CARRIES doc length (no
+  * doc-length join), a term filter that prunes to query hits before
+  * any shuffle, a (doc, term) partial-agg tf, a broadcast join against
+  * the ≤|terms|-row df table, and TakeOrderedAndProject for the global
+  * top-k. The only driver scalars are N and the average length.
+  */
+object Retrieval {
+
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
+               k1Centi: Long = 120, bCenti: Long = 75): DataFrame = {
+    val (n, avgLenMilli) = {
+      val r = docs.agg(count(lit(1)), sum(size(split(col("text"), " ")))).head
+      (r.getLong(0), 1000L * r.getLong(1) / r.getLong(0))
+    }
+    val hits = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("len"),
+        explode(split(col("text"), " ")).as("w"))
+      .where(col("w").isin(terms: _*))
+    val tf = hits.groupBy("doc_id", "w")
+      .agg(first("len").as("len"), count(lit(1)).as("tf"))
+    val df = hits.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "w")
+      .withColumn("aa", lit(2L) * (lit(n) - col("df")) + lit(1L))
+      .withColumn("bb", lit(2L) * col("df") + lit(1L))
+      .withColumn("bits",
+        when(col("aa") >= col("bb"), (length(bin(expr("aa div bb"))) - 1).cast("long"))
+          .otherwise(lit(-1L)))
+      .withColumn("idf_milli", when(col("bits") < 0, lit(0L)).otherwise(
+        col("bits") * 1000L +
+          expr("(1000L * aa) div (bb * shiftleft(1L, cast(bits as int))) - 1000L")))
+      .withColumn("l_milli", expr(s"(1000000L * len) div ${avgLenMilli}L"))
+      .withColumn("bnorm_milli",
+        lit(1000L - 10L * bCenti) + expr(s"(${bCenti}L * l_milli) div 100L"))
+      .withColumn("contrib", col("idf_milli") *
+        expr(s"(1000L * tf * (100L + ${k1Centi}L)) div " +
+          s"(100L * tf + (${k1Centi}L * bnorm_milli) div 1000L)"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score_micro"))
+      .orderBy(desc("score_micro"), asc("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Retrieval
+
+/** Quantized-integer BM25 retrieval (ops/Retrieval.scala): the
+  * hand-computed fixed-point arithmetic, the Lucene-style idf clamp,
+  * and the rank shape (saturation + length normalization).
+  */
+class RetrievalSpec extends AnyFunSuite {
+  lazy implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("scores match the hand-computed quantized formula") {
+    // N=3, lens 3/2/4 -> avg_milli = 3000
+    // term x: df=2 -> aa=3 < bb=5 -> idf clamps to 0 (df > N/2)
+    // term y: df=1 -> aa=5, bb=3 -> bits=0, idf_milli = 5000//3 - 1000 = 666
+    // doc1 y: tf=1, len=3 -> l=1000, bnorm=1000, tfn=220000//220=1000
+    //   -> contrib 666*1000 = 666000; doc2 only x -> 0; doc3 no hits
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "z z z z"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, Seq("x", "y"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 666000L), (2L, 0L)))
+  }
+
+  test("tf saturation and length normalization shape the ranking") {
+    // rare term q (df 2 of 5): doc2 has tf=2 but is 3x longer — the
+    // length penalty outweighs the saturated second occurrence, the
+    // classic BM25 trade-off the fixed-point path must preserve
+    val docs = Seq((1L, "q a"), (2L, "q q a a a a"),
+      (3L, "a a"), (4L, "a a"), (5L, "a a")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, Seq("q"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._1) === Seq(1L, 2L), s"ranking was $got")
+    assert(got.forall(_._2 > 0))
+  }
+
+  test("top-k is deterministic with doc_id tie-break and bounded by k") {
+    val docs = (0L until 30L).map(i => (i, "same words here")).toDF("doc_id", "text")
+    val a = Retrieval.bm25TopK(docs, Seq("same"), k = 7).collect()
+    val b = Retrieval.bm25TopK(docs, Seq("same"), k = 7).collect()
+    assert(a.length === 7)
+    assert(a.map(_.getLong(0)).toSeq === (0L until 7L))
+    assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq)
+  }
+}
