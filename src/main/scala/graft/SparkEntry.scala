@@ -72,6 +72,33 @@ object SparkEntry {
   private val tokSql =
     "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
 
+  /** Shared CTE chain of the bigram-LM oracles: md5-content train
+    * slice, add-one bigram/context counts, train vocab V, per-doc
+    * integer surprisal sums — ends at the `per` relation
+    * (doc_id, is_train, n_bigrams, oov_bigrams, total_bits).
+    */
+  private val lmScoreCtes =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |   CASE WHEN cast(concat('0x', substr(md5(text), 1, 8)) as bigint) % 1000 < 500
+      |        THEN 1 ELSE 0 END AS is_train FROM documents),
+      | big AS (SELECT doc_id, is_train,
+      |     unnest(list_transform(generate_series(1, len(w) - 1),
+      |       i -> concat(w[i], ' ', w[i + 1]))) AS g FROM d),
+      | cnts AS (SELECT g, count(*) AS c FROM big WHERE is_train = 1 GROUP BY g),
+      | ctx AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS cc
+      |   FROM big WHERE is_train = 1 GROUP BY 1),
+      | v AS (SELECT count(DISTINCT x) AS vv
+      |   FROM (SELECT unnest(w) AS x FROM d WHERE is_train = 1)),
+      | sc AS (SELECT b.doc_id, b.is_train,
+      |     coalesce(c.c, 0) AS c, coalesce(x.cc, 0) AS cc
+      |   FROM big b LEFT JOIN cnts c ON b.g = c.g
+      |   LEFT JOIN ctx x ON split_part(b.g, ' ', 1) = x.w1),
+      | per AS (SELECT doc_id, is_train,
+      |     cast(count(*) as bigint) AS n_bigrams,
+      |     cast(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) as bigint) AS oov_bigrams,
+      |     cast(sum(length(bin((cc + vv) // (c + 1))) - 1) as bigint) AS total_bits
+      |   FROM sc, v GROUP BY doc_id, is_train)""".stripMargin
+
   val tableDefectLabels = Seq("marine_growth", "corrosion", "paint_peel", "defect")
 
   /** Root ancestor in the HAS tree (transitive closure of the 25-row
@@ -891,6 +918,11 @@ object SparkEntry {
     "bm25_topk" -> ((s, dir) =>
       graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"),
         Seq("dup", "key", "merge", "vector"), k = 15)),
+    // CCNet head/middle/tail per source on the integer bpb rank — the
+    // tier boundary is 1000*rank <= permille*count, never a float
+    "lm_tiers" -> ((s, dir) =>
+      graft.ops.LanguageModel.perplexityTiers(t(s, dir, "documents"))
+        .orderBy("doc_id")),
     "pca_reduce" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // deterministic PCA twin (sign-canonicalized, integer-sum fit) —
@@ -1302,29 +1334,25 @@ object SparkEntry {
     // integer surprisal length(bin((cc+V)//(c+1)))-1 (bin is unpadded
     // in both engines), order-free sums, truncating int division
     "lm_perplexity" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
-        |   CASE WHEN cast(concat('0x', substr(md5(text), 1, 8)) as bigint) % 1000 < 500
-        |        THEN 1 ELSE 0 END AS is_train FROM documents),
-        | big AS (SELECT doc_id, is_train,
-        |     unnest(list_transform(generate_series(1, len(w) - 1),
-        |       i -> concat(w[i], ' ', w[i + 1]))) AS g FROM d),
-        | cnts AS (SELECT g, count(*) AS c FROM big WHERE is_train = 1 GROUP BY g),
-        | ctx AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS cc
-        |   FROM big WHERE is_train = 1 GROUP BY 1),
-        | v AS (SELECT count(DISTINCT x) AS vv
-        |   FROM (SELECT unnest(w) AS x FROM d WHERE is_train = 1)),
-        | sc AS (SELECT b.doc_id, b.is_train,
-        |     coalesce(c.c, 0) AS c, coalesce(x.cc, 0) AS cc
-        |   FROM big b LEFT JOIN cnts c ON b.g = c.g
-        |   LEFT JOIN ctx x ON split_part(b.g, ' ', 1) = x.w1),
-        | per AS (SELECT doc_id, is_train,
-        |     cast(count(*) as bigint) AS n_bigrams,
-        |     cast(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) as bigint) AS oov_bigrams,
-        |     cast(sum(length(bin((cc + vv) // (c + 1))) - 1) as bigint) AS total_bits
-        |   FROM sc, v GROUP BY doc_id, is_train)
+      s"""$lmScoreCtes
         | SELECT doc_id, is_train, n_bigrams, oov_bigrams, total_bits,
         |   (1000 * total_bits) // n_bigrams AS bpb_milli
         | FROM per ORDER BY doc_id""".stripMargin,
+    // the scoring CTEs above, then CCNet's per-source head/middle/tail:
+    // integer boundary 1000*rank <= permille*count, (bpb, doc_id) rank
+    "lm_tiers" ->
+      s"""$lmScoreCtes,
+        | sc2 AS (SELECT p.doc_id, doc.source,
+        |     (1000 * p.total_bits) // p.n_bigrams AS bpb_milli
+        |   FROM per p JOIN documents doc USING (doc_id)),
+        | rk AS (SELECT doc_id, source, bpb_milli,
+        |     row_number() OVER (PARTITION BY source ORDER BY bpb_milli, doc_id) AS r,
+        |     count(*) OVER (PARTITION BY source) AS cnt FROM sc2)
+        | SELECT doc_id, source, bpb_milli,
+        |   CASE WHEN 1000 * r <= 100 * cnt THEN 'head'
+        |        WHEN 1000 * r <= 500 * cnt THEN 'middle'
+        |        ELSE 'tail' END AS tier
+        | FROM rk ORDER BY doc_id""".stripMargin,
     // replays the quantized BM25: floor-log2 idf on the exact rational
     // (2(N-df)+1)/(2df+1) with the milli interpolation fraction,
     // Lucene-style clamp at df > N/2, milli tf saturation with the
@@ -1380,7 +1408,8 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, cast($tokSql as bigint) AS tokens FROM documents),
          | c AS (SELECT doc_id, tokens, sum(tokens) OVER (ORDER BY doc_id
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
-         | SELECT doc_id, tokens, cast((cum - tokens) // 2000 as bigint) AS shard_id
+         | SELECT doc_id, tokens, cast((cum - tokens) // 2000 as bigint) AS shard_id,
+         |   cast((cum - tokens) % 2000 as bigint) AS pack_offset
          | FROM c ORDER BY doc_id""".stripMargin,
     // per-word floor(1e6/df) is IEEE division + floor (no transcendental),
     // then everything stays int64 (order-free sum, truncating mean) —

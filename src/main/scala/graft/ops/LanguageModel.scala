@@ -83,6 +83,39 @@ object LanguageModel {
       .withColumn("bpb_milli", expr("(1000L * total_bits) div n_bigrams"))
   }
 
+  /** CCNet's head/middle/tail buckets, PER SOURCE: within each source,
+    * rank documents by (bpb_milli asc, doc_id) and tag the lowest
+    * `headPermille` fraction "head", the next `middlePermille`
+    * "middle", the rest "tail". The tier boundary is the integer
+    * comparison 1000·rank <= permille·count — no float ever decides a
+    * tier, so the bucketing replays exactly on any engine. Documents
+    * with no bigram are unscorable and drop out (inner join).
+    *
+    * Scale shape: the scoring plan of [[perplexityScore]] plus one
+    * window partitioned BY SOURCE — shuffles on the source key only;
+    * a skewed mega-source makes this window its partition's sort,
+    * which is the same cost profile as the reference engines' per-
+    * domain bucketing (and AQE skew-split applies to the exchange).
+    */
+  def perplexityTiers(docs: DataFrame, headPermille: Int = 100,
+                      middlePermille: Int = 400,
+                      trainPermille: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = perplexityScore(docs, trainPermille)
+      .select(col("doc_id"), col("bpb_milli"))
+    val bySource = Window.partitionBy("source")
+    docs.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        bySource.orderBy(col("bpb_milli"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(bySource))
+      .select(col("doc_id"), col("source"), col("bpb_milli"),
+        when(expr(s"1000L * rk <= ${headPermille}L * cnt"), "head")
+          .when(expr(s"1000L * rk <= ${headPermille + middlePermille}L * cnt"),
+            "middle")
+          .otherwise("tail").as("tier"))
+  }
+
   /** Keep documents scoring at most `maxBpbMilli` quantized bits per
     * bigram — the CCNet head/middle cut as a semi-join against the
     * scored keep set (docs without a bigram are dropped: unscorable).

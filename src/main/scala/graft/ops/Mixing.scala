@@ -60,8 +60,12 @@ object Mixing {
     val intra = Window.partitionBy("bucket").orderBy("doc_id")
     toks.join(broadcast(offsets), Seq("bucket"))
       .withColumn("cum", sum("tokens").over(intra))
+      // pack_offset: where in its shard the doc STARTS (greedy
+      // concatenation with spillover — a doc near the boundary runs
+      // into the next shard, the packing sequence trainers consume)
       .select(col("doc_id"), col("tokens"),
-        expr(s"(offset + cum - tokens) div $shardTokens").as("shard_id"))
+        expr(s"(offset + cum - tokens) div $shardTokens").as("shard_id"),
+        expr(s"(offset + cum - tokens) % $shardTokens").as("pack_offset"))
   }
 
   /** Deterministic train/validation/test split, keyed on the CONTENT

@@ -61,6 +61,26 @@ class LanguageModelSpec extends AnyFunSuite {
       "novel-content doc must carry more bits per bigram")
   }
 
+  test("perplexityTiers buckets per source at the integer permille boundary") {
+    // 20 scorable docs per source: head = lowest 10% = ranks 1-2,
+    // middle = next 40% = ranks 3-10, tail = the rest
+    val docs = (0L until 40L).map { i =>
+      (i, s"w$i x$i y$i z$i common tokens here", s"src${i % 2}")
+    }.toDF("doc_id", "text", "source")
+    val tiers = LanguageModel.perplexityTiers(docs, trainPermille = 1000)
+      .collect()
+    assert(tiers.length === 40)
+    val bySrc = tiers.groupBy(_.getString(1))
+    for ((_, rows) <- bySrc) {
+      val counts = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+      assert(counts === Map("head" -> 2, "middle" -> 8, "tail" -> 10))
+      // head docs never score above tail docs within a source
+      val maxHead = rows.filter(_.getString(3) == "head").map(_.getLong(2)).max
+      val minTail = rows.filter(_.getString(3) == "tail").map(_.getLong(2)).min
+      assert(maxHead <= minTail)
+    }
+  }
+
   test("perplexityFilter keeps exactly the docs at or under the cut") {
     val docs = (0L until 60L).map { i =>
       (i, if (i % 3 == 0) "one two three four five six"

@@ -31,6 +31,9 @@ class MixingSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val out = Mixing.shardPack(docs, shardTokens = 5L).orderBy("doc_id").collect()
     assert(out.map(_.getAs[Long]("shard_id")).toSeq === Seq(0L, 0L, 1L))
+    // pack_offset = start offset within the shard (greedy spillover:
+    // doc 2 starts at 3 of shard 0 and runs into shard 1)
+    assert(out.map(_.getAs[Long]("pack_offset")).toSeq === Seq(0L, 3L, 1L))
   }
 
   test("sourceSample honors degenerate weights and drops unlisted sources") {
