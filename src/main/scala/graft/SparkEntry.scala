@@ -99,6 +99,59 @@ object SparkEntry {
       |     cast(sum(length(bin((cc + vv) // (c + 1))) - 1) as bigint) AS total_bits
       |   FROM sc, v GROUP BY doc_id, is_train)""".stripMargin
 
+  /** Code-generated CTE chain replaying `k` BPE merge iterations:
+    * w0 = char-symbolized word counts, then per iteration the pair
+    * counts (p_i), the (n desc, pair asc) argmax (b_i), and the
+    * space-padded replace application (w_i) — the same left-to-right
+    * non-overlapping `replace` semantics as the engine.
+    */
+  private def bpeCtes(k: Int): String = {
+    // AS MATERIALIZED on every stage: without it DuckDB inlines the
+    // k-deep CTE chain (each w_i references w_{i-1}, each b_i is a
+    // scalar subquery used twice) into an exponentially-expanded tree
+    val sb = new StringBuilder(
+      """WITH w0 AS MATERIALIZED (SELECT ' ' || array_to_string(regexp_split_to_array(word, ''), ' ') || ' ' AS syms,
+        |   cast(count(*) as bigint) AS cnt
+        | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        | GROUP BY word)""".stripMargin)
+    for (i <- 1 to k) {
+      sb ++= s""",
+        | p$i AS MATERIALIZED (SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+        |     j -> concat(s[j], ' ', s[j + 1]))) AS pair, cnt
+        |   FROM (SELECT string_split(trim(syms), ' ') AS s, cnt FROM w${i - 1})),
+        | b$i AS MATERIALIZED (SELECT pair, cast(sum(cnt) as bigint) AS n FROM p$i
+        |   GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+        | w$i AS MATERIALIZED (SELECT replace(syms, ' ' || (SELECT pair FROM b$i) || ' ',
+        |     ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' ') AS syms, cnt
+        |   FROM w${i - 1})""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def bpeMergesOracleSql(k: Int): String =
+    bpeCtes(k) + (1 to k).map(i =>
+      s"\n SELECT $i AS merge_rank, (SELECT pair FROM b$i) AS pair," +
+        s" (SELECT n FROM b$i) AS frequency").mkString("", "\n UNION ALL", "") +
+      "\n ORDER BY merge_rank"
+
+  /** Tokenize oracle: the merge chain above, then every document word
+    * symbolized and run through the k replaces in rank order.
+    */
+  private def bpeTokenizeOracleSql(k: Int): String = {
+    val replaced = (1 to k).foldLeft("syms0") { (acc, i) =>
+      s"replace($acc, ' ' || (SELECT pair FROM b$i) || ' '," +
+        s" ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' ')"
+    }
+    bpeCtes(k) + s""",
+      | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      | symd AS (SELECT doc_id,
+      |     ' ' || array_to_string(regexp_split_to_array(word, ''), ' ') || ' ' AS syms0
+      |   FROM tok),
+      | applied AS (SELECT doc_id, $replaced AS syms FROM symd)
+      | SELECT doc_id, cast(sum(len(string_split(trim(syms), ' '))) as bigint) AS n_tokens
+      | FROM applied GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val tableDefectLabels = Seq("marine_growth", "corrosion", "paint_peel", "defect")
 
   /** Root ancestor in the HAS tree (transitive closure of the 25-row
@@ -923,6 +976,19 @@ object SparkEntry {
     "lm_tiers" -> ((s, dir) =>
       graft.ops.LanguageModel.perplexityTiers(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // classic BPE merge learning on the corpus word-count table:
+    // 8 iterated (count desc, pair asc) argmax merges — the oracle
+    // replays every iteration via code-generated chained CTEs
+    "bpe_merges" -> ((s, dir) =>
+      graft.ops.BpeTrainer.learnMerges(t(s, dir, "documents"), merges = 8)),
+    // end-to-end subword tokenization with the learned merges: per-doc
+    // subword counts after applying all 8 merges in rank order
+    "bpe_tokenize" -> ((s, dir) => {
+      val ms = graft.ops.BpeTrainer.learnMerges(t(s, dir, "documents"), merges = 8)
+        .orderBy("merge_rank").collect().map(_.getString(1)).toSeq
+      graft.ops.BpeTrainer.tokenizeCount(t(s, dir, "documents"), ms)
+        .orderBy("doc_id")
+    }),
     "pca_reduce" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // deterministic PCA twin (sign-canonicalized, integer-sum fit) —
@@ -1353,6 +1419,10 @@ object SparkEntry {
         |        WHEN 1000 * r <= 500 * cnt THEN 'middle'
         |        ELSE 'tail' END AS tier
         | FROM rk ORDER BY doc_id""".stripMargin,
+    // replays all 8 BPE iterations via the code-generated CTE chain —
+    // identical argmax order and replace semantics both engines
+    "bpe_merges" -> bpeMergesOracleSql(8),
+    "bpe_tokenize" -> bpeTokenizeOracleSql(8),
     // replays the quantized BM25: floor-log2 idf on the exact rational
     // (2(N-df)+1)/(2df+1) with the milli interpolation fraction,
     // Lucene-style clamp at df > N/2, milli tf saturation with the
