@@ -34,14 +34,73 @@ object BpeTrainer {
     * the two space-separated symbols merged at that rank, frequency
     * its weighted adjacent-pair count at selection time.
     */
-  def learnMerges(docs: DataFrame, merges: Int = 8): DataFrame = {
+  /** Below this vocabulary size the merge loop runs on the driver over
+    * the collected word-count table (identical argmax + replace
+    * semantics — Java String.replace is the same left-to-right
+    * non-overlapping contract as Spark's StringReplace), saving the
+    * per-iteration job round-trips; above it the distributed loop
+    * runs. The same small/large switch as ConnectedComponents' driver
+    * union-find threshold, and BpeSpec pins path equivalence.
+    */
+  val driverVocabLimit = 200000L
+
+  def learnMerges(docs: DataFrame, merges: Int = 8): DataFrame =
+    learnMerges(docs, merges, driverVocabLimit)
+
+  def learnMerges(docs: DataFrame, merges: Int, vocabLimit: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = docs.select(explode(split(col("text"), " ")).as("word"))
+    // Two overheads dominate the iteration loop at ANY corpus scale,
+    // because everything after the corpus pass is vocabulary-bounded:
+    // (1) task scheduling — the vocab table inherits the corpus agg's
+    // shuffle partitioning, so each tiny stage runs shuffle.partitions
+    // tasks; coalesce to ~1 partition per 64k vocab entries (capped at
+    // the cluster parallelism) so small vocabularies iterate in
+    // single-task stages while web-scale vocabularies stay parallel.
+    // (2) jobs — lazy persist per generation instead of an eager
+    // checkpoint: the argmax collect is each iteration's only job
+    // (materializing the current generation from its cached parent);
+    // older generations unpersist once superseded.
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cache(df: DataFrame): DataFrame = { df.persist(); cached += df; df }
+    val counted = cache(docs
+      .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(concat(lit(" "), concat_ws(" ", split(col("word"), "")),
-        lit(" ")).as("syms"), col("cnt"))
-      .localCheckpoint(true)
+        lit(" ")).as("syms"), col("cnt")))
+    val vocabN = counted.count()
+    if (vocabN <= vocabLimit) {
+      // driver fit: one corpus pass, then in-memory merge iterations
+      var tbl = counted.collect().map(r => (r.getString(0), r.getLong(1)))
+      cached.foreach(_.unpersist())
+      val out = Seq.newBuilder[(Int, String, Long)]
+      for (i <- 1 to merges) {
+        val counts = new java.util.HashMap[String, Long]()
+        tbl.foreach { case (syms, cnt) =>
+          val s = syms.trim.split(" ")
+          var j = 0
+          while (j < s.length - 1) {
+            counts.merge(s(j) + " " + s(j + 1), cnt, Long.box(_) + _)
+            j += 1
+          }
+        }
+        if (!counts.isEmpty) {
+          var bestPair: String = null; var bestN = Long.MinValue
+          counts.forEach { (p, n) =>
+            if (n > bestN || (n == bestN && p < bestPair)) { bestPair = p; bestN = n }
+          }
+          out += ((i, bestPair, bestN))
+          val merged = " " + bestPair.replace(" ", "") + " "
+          tbl = tbl.map { case (syms, cnt) =>
+            (syms.replace(" " + bestPair + " ", merged), cnt)
+          }
+        }
+      }
+      return out.result().toDF("merge_rank", "pair", "frequency")
+    }
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (vocabN / 65536L).toInt))
+    var words = counted.coalesce(parts)
     val out = Seq.newBuilder[(Int, String, Long)]
     for (i <- 1 to merges) {
       val best = words
@@ -53,15 +112,17 @@ object BpeTrainer {
         .groupBy("pair").agg(sum("cnt").as("n"))
         .orderBy(desc("n"), asc("pair")).limit(1)
         .collect()
+      // the latest generation is materialized now — its parents can go
+      while (cached.size > 1) cached.remove(0).unpersist()
       if (best.nonEmpty) {
         val (pair, n) = (best(0).getString(0), best(0).getLong(1))
         out += ((i, pair, n))
-        words = words.select(
+        if (i < merges) words = cache(words.select(
           expr(s"replace(syms, ' ${sq(pair)} ', ' ${sq(pair.replace(" ", ""))} ')")
-            .as("syms"), col("cnt"))
-          .localCheckpoint(true)
+            .as("syms"), col("cnt")))
       }
     }
+    cached.foreach(_.unpersist())
     out.result().toDF("merge_rank", "pair", "frequency")
   }
 

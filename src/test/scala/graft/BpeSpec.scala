@@ -22,6 +22,15 @@ class BpeSpec extends AnyFunSuite {
       (3, "e r", 2L), (4, "low er", 2L)))
   }
 
+  test("driver-fit and distributed merge loops produce identical merges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val driver = BpeTrainer.learnMerges(docs, merges = 6)
+      .orderBy("merge_rank").collect().toSeq
+    val dist = BpeTrainer.learnMerges(docs, merges = 6, vocabLimit = 0L)
+      .orderBy("merge_rank").collect().toSeq
+    assert(driver === dist)
+  }
+
   test("tokenizeCount applies merges in rank order") {
     val docs = Seq((1L, "low low low"), (2L, "lower lower"))
       .toDF("doc_id", "text")
