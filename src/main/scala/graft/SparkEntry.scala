@@ -648,6 +648,17 @@ object SparkEntry {
         .collect()(0).getSeq[Double](0).toArray
       SimilaritySearch.lshTopKPortable(emb.where(col("vec_id") =!= 0), q, 20)
     }),
+    // product-quantization ANN: 8 blocks x 8 codes from the md5-ranked
+    // seed rows; encode argmin, driver ADC table, two-level
+    // left-to-right sums — the oracle replays codebook, per-block code
+    // assignment, ADC lookup and the block fold bit-for-bit
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      SimilaritySearch.pqTopK(emb.where(col("vec_id") =!= 0), q, 20)
+    }),
     "minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.0)
@@ -976,6 +987,11 @@ object SparkEntry {
     "lm_tiers" -> ((s, dir) =>
       graft.ops.LanguageModel.perplexityTiers(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // overlapping word-window chunking (window 16, stride 12 against
+    // ~60-word docs so multi-chunk overlap + truncated tails both occur)
+    "chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunk(t(s, dir, "documents"), window = 16, stride = 12)
+        .orderBy("doc_id", "chunk_id")),
     // classic BPE merge learning on the corpus word-count table:
     // 8 iterated (count desc, pair asc) argmax merges — the oracle
     // replays every iteration via code-generated chained CTEs
@@ -1258,6 +1274,37 @@ object SparkEntry {
         | FROM e JOIN sigs s USING (vec_id), q
         | WHERE e.vec_id <> 0 AND s.bucket = q.qbucket
         | ORDER BY list_distance(e.v, q.qv), e.vec_id LIMIT 20""".stripMargin,
+    // replays the PQ stage for stage: md5-ranked codebook rows sliced
+    // per block, per-(vec, block) argmin by (list_distance, cid), ADC
+    // squared distances via a left-to-right dimension loop, then the
+    // per-vector block fold as an explicit list_reduce over the
+    // b-ordered list — summation order is part of the contract
+    "ann_pq_topk" ->
+      """WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+        | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        | hb AS (SELECT vec_id, v,
+        |    cast(concat('0x', substr(md5(cast(vec_id as varchar)), 1, 8)) as bigint) % 1000000 AS h
+        |  FROM e WHERE vec_id <> 0),
+        | cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v AS cv
+        |   FROM hb ORDER BY h, vec_id LIMIT 8),
+        | bl AS (SELECT unnest(generate_series(0, 7)) AS b),
+        | enc AS (SELECT t.vec_id, bl.b, c.cid,
+        |     row_number() OVER (PARTITION BY t.vec_id, bl.b
+        |       ORDER BY list_distance(list_slice(t.v, bl.b * 8 + 1, bl.b * 8 + 8),
+        |                              list_slice(c.cv, bl.b * 8 + 1, bl.b * 8 + 8)),
+        |         c.cid) AS rk
+        |   FROM hb t CROSS JOIN bl CROSS JOIN cents c),
+        | adc AS (SELECT bl.b, c.cid,
+        |     list_sum(list_transform(generate_series(1, 8),
+        |       d -> (q.qv[bl.b * 8 + d] - c.cv[bl.b * 8 + d])
+        |          * (q.qv[bl.b * 8 + d] - c.cv[bl.b * 8 + d]))) AS sq
+        |   FROM bl CROSS JOIN cents c, q),
+        | per AS (SELECT n.vec_id,
+        |     list_reduce(list(a.sq ORDER BY n.b), (x, y) -> x + y) AS s
+        |   FROM enc n JOIN adc a ON n.b = a.b AND n.cid = a.cid
+        |   WHERE n.rk = 1 GROUP BY n.vec_id)
+        | SELECT vec_id, round(sqrt(s), 6) AS distance_approx
+        | FROM per ORDER BY sqrt(s), vec_id LIMIT 20""".stripMargin,
     "curation_exact" -> curationExactOracleSql,
     "curation_portable" -> curationPortableOracleSql,
     // tie order inside the engine's top-k aggregator is (distance, dst
@@ -1419,6 +1466,17 @@ object SparkEntry {
         |        WHEN 1000 * r <= 500 * cnt THEN 'middle'
         |        ELSE 'tail' END AS tier
         | FROM rk ORDER BY doc_id""".stripMargin,
+    // window/stride slicing: Spark slice(arr, start, LENGTH) ==
+    // DuckDB list_slice(arr, start, start+len-1) (inclusive end)
+    "chunk_docs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | c AS (SELECT doc_id, w,
+        |     unnest(generate_series(0, greatest(len(w) - 1, 0) // 12)) AS cid
+        |   FROM d)
+        | SELECT doc_id, cast(cid as bigint) AS chunk_id,
+        |   cast(len(list_slice(w, cid * 12 + 1, cid * 12 + 16)) as bigint) AS n_tokens,
+        |   array_to_string(list_slice(w, cid * 12 + 1, cid * 12 + 16), ' ') AS chunk
+        | FROM c WHERE cid * 12 < len(w) ORDER BY doc_id, chunk_id""".stripMargin,
     // replays all 8 BPE iterations via the code-generated CTE chain —
     // identical argmax order and replace semantics both engines
     "bpe_merges" -> bpeMergesOracleSql(8),

@@ -243,6 +243,62 @@ object SimilaritySearch {
     ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
   }
 
+  /** Product-quantization ANN — the memory-bounded scale path beyond
+    * IVF: split each vector into `blocks` sub-vectors, quantize every
+    * block to its nearest of `codes` codewords, and answer queries by
+    * ADC (asymmetric distance computation) — a driver-computed
+    * blocks×codes table of squared query-block-to-codeword distances,
+    * so the per-vector work is `blocks` small argmins plus table
+    * lookups and a vector is representable in `blocks` bytes. In
+    * production the encode step materializes once; here it runs
+    * inline, same plan shape (map-only scan → TakeOrdered).
+    *
+    * Fully portable, same discipline as [[ivfTopKPortable]]: the
+    * codebook is the md5-ranked seed rows sliced per block, the
+    * per-block encode argmin compares sqrt'd distances (strict `<`,
+    * lowest code wins), and the approximate distance is
+    * sqrt(Σ_b adc[b][code_b]) with BOTH levels of the sum evaluated
+    * left-to-right on both engines (per-block dimension loop, then the
+    * block fold) — summation order is part of the contract, since
+    * float addition does not associate.
+    */
+  def pqTopK(embeddings: DataFrame, query: Array[Double], k: Int,
+             blocks: Int = 8, codes: Int = 8): DataFrame =
+    pqApproxRaw(embeddings, query, blocks, codes)
+      .orderBy(asc("approx"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("approx"), 6).as("distance_approx"))
+
+  /** Unrounded twin of [[pqTopK]] (every vector, raw approx distance) —
+    * OracleMarginSpec audits these against the round-6 grid boundary.
+    */
+  private[graft] def pqApproxRaw(embeddings: DataFrame, query: Array[Double],
+                                 blocks: Int = 8, codes: Int = 8): DataFrame = {
+    val dims = query.length
+    require(dims % blocks == 0, s"$dims dims not divisible into $blocks blocks")
+    val blockLen = dims / blocks
+    val seeds = portableSeedCentroids(embeddings, codes)
+    def blockOf(arr: Array[Double], b: Int): Array[Double] =
+      arr.slice(b * blockLen, (b + 1) * blockLen)
+    // adc(b)(c): left-to-right squared distance of the query's block b
+    // to codeword c — the same fold order as VectorExprs.sq_dist
+    val adc: Array[Array[Double]] = Array.tabulate(blocks, codes) { (b, c) =>
+      val (qb, cb) = (blockOf(query, b), blockOf(seeds(c), b))
+      var s = 0.0; var d = 0
+      while (d < blockLen) { val t = qb(d) - cb(d); s += t * t; d += 1 }
+      s
+    }
+    def encodeB(b: Int): Column = nearestCentroidL2(
+      expr(s"slice(vec, ${b * blockLen + 1}, $blockLen)"),
+      seeds.map(blockOf(_, b)))
+    val approxSq = (0 until blocks).map(b =>
+      element_at(lit(adc(b)), encodeB(b) + 1)).reduce(_ + _)
+    embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      .withColumn("approx", sqrt(approxSq))
+      .select(col("vec_id"), col("approx"))
+  }
+
   /** PORTABLE sign-projection LSH twin of [[lshTopK]] with REAL
     * bucketing (2^bits buckets — the query probes only its own): the
     * hyperplanes are the md5-derived literals above and the bucket key

@@ -153,4 +153,25 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word"))
       .limit(k)
+
+  /** Overlapping word-window chunking — the context-window prep step
+    * (RAG passages / fixed-length training windows): one chunk per
+    * stride start, the last chunk truncated at the document end.
+    * Pure map-side transform + explode — no shuffle, no state; output
+    * (doc_id, chunk_id, n_tokens, chunk) with chunk_id the 0-based
+    * start index in strides.
+    */
+  def chunk(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && window >= 1)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), size(col("words")).as("n"), explode(expr(
+        s"transform(sequence(0, greatest(size(words) - 1, 0) div $stride), " +
+          s"i -> struct(i as cid, slice(words, i * $stride + 1, $window) as w))"))
+        .as("c"))
+      .where(expr(s"c.cid * $stride") < col("n"))
+      .select(col("doc_id"), col("c.cid").cast("long").as("chunk_id"),
+        size(col("c.w")).cast("long").as("n_tokens"),
+        array_join(col("c.w"), " ").as("chunk"))
+  }
 }

@@ -87,6 +87,22 @@ class AnnSpec extends AnyFunSuite {
     assert(again === sub, "portable IVF must be deterministic")
   }
 
+  test("PQ ANN: quantized distances rank sanely and deterministically") {
+    val exact = SimilaritySearch.bruteForceTopK(rest, query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val got = SimilaritySearch.pqTopK(rest, query, 20).collect()
+    assert(got.length === 20)
+    val d = got.map(_.getDouble(1))
+    assert(d.zip(d.tail).forall { case (a, b) => a <= b }, "distances must ascend")
+    val recall = (exact & got.map(_.getLong(0)).toSet).size.toDouble / exact.size
+    info(s"PQ recall@20 vs exact cosine: $recall")
+    // 8x8 codebook on an isotropic synthetic corpus is a coarse
+    // quantizer; require better-than-random overlap, not fidelity
+    assert(recall >= 0.05, s"PQ recall $recall")
+    val again = SimilaritySearch.pqTopK(rest, query, 20).collect()
+    assert(again.map(_.getLong(0)).toSeq === got.map(_.getLong(0)).toSeq)
+  }
+
   test("portable LSH: self-bucket probe, sorted exact distances, deterministic") {
     val got = SimilaritySearch.lshTopKPortable(rest, query, 20).collect()
     assert(got.nonEmpty && got.length <= 20)

@@ -153,6 +153,35 @@ class OracleMarginSpec extends AnyFunSuite {
       "an emitted ANN value sits on the round-6 grid boundary")
   }
 
+  test("PQ encode argmins and the ADC round-6 grid keep cross-engine margins") {
+    // per-(vector, block) code assignment compares sqrt'd block
+    // distances across engine library code (sqrt(sq_dist) vs
+    // list_distance) — a tie or 1-ulp gap would flip a code on one
+    // engine only; the emitted round(approx, 6) must clear the grid
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("v")).collect()(0).getSeq[Double](0).toArray
+    val rest = emb.where(col("vec_id") =!= 0).localCheckpoint(true)
+    val seeds = SimilaritySearch.portableSeedCentroids(
+      spark.read.parquet(s"$dir/embeddings.parquet").where(col("vec_id") =!= 0), 8)
+    val blockLen = query.length / 8
+    val gaps = (0 until 8).map { b =>
+      val dcols = array(seeds.map(c => sqrt(graft.core.VectorExprs.sq_dist(
+        expr(s"slice(v, ${b * blockLen + 1}, $blockLen)"),
+        lit(c.slice(b * blockLen, (b + 1) * blockLen))))).toIndexedSeq: _*)
+      rest.select(sort_array(dcols).as("d"))
+        .select((element_at(col("d"), 2) - element_at(col("d"), 1)).as("g"))
+        .agg(min("g")).collect()(0).getDouble(0)
+    }
+    info(f"PQ min per-block best-vs-second codeword gap: ${gaps.min}%.2e")
+    assert(gaps.min > 1e-9, s"a block's two nearest codewords tie (gaps $gaps)")
+    val m = SimilaritySearch.pqApproxRaw(
+        spark.read.parquet(s"$dir/embeddings.parquet").where(col("vec_id") =!= 0),
+        query)
+      .agg(min(roundMargin(col("approx"), 6))).collect()(0).getDouble(0)
+    info(f"PQ raw approx-distance round-6 margin: $m%.2e")
+    assert(m > 1e-9, "a PQ approx distance sits on the round-6 grid boundary")
+  }
+
   test("round-6 boundaries of the corpus-ratio oracles decide identically cross-engine") {
     // These oracles compute their ratio with IDENTICAL IEEE arithmetic
     // on both engines, but the final round(x, 6) is implemented
