@@ -659,6 +659,16 @@ object SparkEntry {
         .collect()(0).getSeq[Double](0).toArray
       SimilaritySearch.pqTopK(emb.where(col("vec_id") =!= 0), q, 20)
     }),
+    // int8 scalar quantization MIPS: exact-int64 code dot, one
+    // fixed-order float product at the end — oracle replays the
+    // quantization and scoring bit-for-bit
+    "ann_sq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      SimilaritySearch.sqTopK(emb.where(col("vec_id") =!= 0), q, 20)
+    }),
     "minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.0)
@@ -1305,6 +1315,26 @@ object SparkEntry {
         |   WHERE n.rk = 1 GROUP BY n.vec_id)
         | SELECT vec_id, round(sqrt(s), 6) AS distance_approx
         | FROM per ORDER BY sqrt(s), vec_id LIMIT 20""".stripMargin,
+    // replays the int8 scalar quantization: per-vector max-abs scale,
+    // floor(x*127/scale + 0.5) codes, exact integer dot, then the one
+    // float product in the engine's exact order ((dot*qs)*vs)/16129
+    "ann_sq_topk" ->
+      """WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+        | q AS (SELECT v AS qv,
+        |     list_max(list_transform(v, x -> abs(x))) AS qs FROM e WHERE vec_id = 0),
+        | qc AS (SELECT list_transform(qv, x -> cast(floor(x * 127.0 / qs + 0.5) as bigint)) AS qc, qs FROM q),
+        | sc AS (SELECT t.vec_id,
+        |     list_max(list_transform(t.v, x -> abs(x))) AS vs, t.v
+        |   FROM e t WHERE t.vec_id <> 0),
+        | d AS (SELECT s.vec_id,
+        |     list_sum(list_transform(generate_series(1, len(s.v)), i ->
+        |       c.qc[i] * cast(floor(s.v[i] * 127.0 / s.vs + 0.5) as bigint))) AS idot,
+        |     s.vs, c.qs
+        |   FROM sc s, qc c)
+        | SELECT vec_id,
+        |   round(cast(idot as double) * qs * vs / 16129.0, 6) AS dot_approx
+        | FROM d ORDER BY cast(idot as double) * qs * vs / 16129.0 DESC, vec_id
+        | LIMIT 20""".stripMargin,
     "curation_exact" -> curationExactOracleSql,
     "curation_portable" -> curationPortableOracleSql,
     // tie order inside the engine's top-k aggregator is (distance, dst

@@ -299,6 +299,41 @@ object SimilaritySearch {
       .select(col("vec_id"), col("approx"))
   }
 
+  /** Scalar int8 quantization ANN (maximum-inner-product top-k) — the
+    * OTHER quantized-at-rest trade-off next to [[pqTopK]]: keep one
+    * code per dimension (4× smaller than float32, no codebook) with a
+    * per-vector scale. Everything decisive is exact: the scale is a
+    * float MAX (order-free), the codes are
+    * `floor(x·127/scale + 0.5)` (one fully specified float chain per
+    * element), the code dot product accumulates in exact int64, and
+    * only then does ONE fixed-order float product
+    * `((dot · sq) · sv) / 16129` produce the score — so the DuckDB
+    * oracle replays quantization and scoring bit-for-bit. Plan shape:
+    * a single codegen'd map over the scan → TakeOrderedAndProject.
+    */
+  def sqTopK(embeddings: DataFrame, query: Array[Double], k: Int): DataFrame =
+    sqApproxRaw(embeddings, query)
+      .orderBy(desc("approx_dot"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("approx_dot"), 6).as("dot_approx"))
+
+  /** Unrounded twin of [[sqTopK]] for the round-6 margin audit. */
+  private[graft] def sqApproxRaw(embeddings: DataFrame, query: Array[Double]): DataFrame = {
+    val qScale = query.map(math.abs).max
+    val qCodes: Array[Long] = query.map(x => math.floor(x * 127.0 / qScale + 0.5).toLong)
+    embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      .withColumn("qc", lit(qCodes))
+      .withColumn("vscale", expr("array_max(transform(vec, x -> abs(x)))"))
+      .withColumn("idot", expr(
+        "aggregate(sequence(1, size(vec)), 0L, (acc, i) -> acc + " +
+          "element_at(qc, i) * cast(floor(element_at(vec, i) * 127.0D / vscale + 0.5D) as bigint))")
+        .as("idot"))
+      .withColumn("approx_dot",
+        col("idot").cast("double") * lit(qScale) * col("vscale") / lit(16129.0))
+      .select(col("vec_id"), col("approx_dot"))
+  }
+
   /** PORTABLE sign-projection LSH twin of [[lshTopK]] with REAL
     * bucketing (2^bits buckets — the query probes only its own): the
     * hyperplanes are the md5-derived literals above and the bucket key

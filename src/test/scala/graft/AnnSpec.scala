@@ -103,6 +103,22 @@ class AnnSpec extends AnyFunSuite {
     assert(again.map(_.getLong(0)).toSeq === got.map(_.getLong(0)).toSeq)
   }
 
+  test("SQ int8 ANN: high recall vs exact inner product, deterministic") {
+    import org.apache.spark.sql.functions._
+    val exact = rest
+      .select(col("vec_id"), graft.core.VectorExprs.vec_dot(
+        expr("transform(embedding, x -> cast(x as double))"), lit(query)).as("d"))
+      .orderBy(desc("d"), asc("vec_id")).limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val got = SimilaritySearch.sqTopK(rest, query, 20).collect()
+    val recall = (exact & got.map(_.getLong(0)).toSet).size.toDouble / exact.size
+    info(s"SQ recall@20 vs exact dot: $recall")
+    // 8-bit scalar quantization is fine-grained — near-exact ranking
+    assert(recall >= 0.8, s"SQ recall $recall")
+    val again = SimilaritySearch.sqTopK(rest, query, 20).collect()
+    assert(again.map(_.getLong(0)).toSeq === got.map(_.getLong(0)).toSeq)
+  }
+
   test("portable LSH: self-bucket probe, sorted exact distances, deterministic") {
     val got = SimilaritySearch.lshTopKPortable(rest, query, 20).collect()
     assert(got.nonEmpty && got.length <= 20)

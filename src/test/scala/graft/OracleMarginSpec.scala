@@ -180,6 +180,19 @@ class OracleMarginSpec extends AnyFunSuite {
       .agg(min(roundMargin(col("approx"), 6))).collect()(0).getDouble(0)
     info(f"PQ raw approx-distance round-6 margin: $m%.2e")
     assert(m > 1e-9, "a PQ approx distance sits on the round-6 grid boundary")
+
+    // SQ int8: the floor(x*127/scale + 0.5) chain is PURE IEEE
+    // primitives (*, /, +, floor) — correctly rounded and therefore
+    // bit-identical on both engines even exactly ON the .5 grid (the
+    // max-abs element always lands on 127.5), so no code-boundary
+    // audit is needed; what still splits cross-engine is the final
+    // round(score, 6) (Spark BigDecimal vs DuckDB float — CLAUDE.md)
+    val rawEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") =!= 0)
+    val sqm = SimilaritySearch.sqApproxRaw(rawEmb, query)
+      .agg(min(roundMargin(col("approx_dot"), 6))).collect()(0).getDouble(0)
+    info(f"SQ raw score round-6 margin: $sqm%.2e")
+    assert(sqm > 1e-9, "an SQ score sits on the round-6 grid boundary")
   }
 
   test("round-6 boundaries of the corpus-ratio oracles decide identically cross-engine") {
