@@ -659,6 +659,17 @@ object SparkEntry {
         .collect()(0).getSeq[Double](0).toArray
       SimilaritySearch.pqTopK(emb.where(col("vec_id") =!= 0), q, 20)
     }),
+    // IVF-PQ composite (the faiss-default shape): probe 2 of 8
+    // portable inverted lists, PQ-score only the candidates with the
+    // same md5-ranked codebook — assignment, probing, encode and ADC
+    // all replayed by the oracle end to end
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      SimilaritySearch.ivfPqTopK(emb.where(col("vec_id") =!= 0), q, 20)
+    }),
     // int8 scalar quantization MIPS: exact-int64 code dot, one
     // fixed-order float product at the end — oracle replays the
     // quantization and scoring bit-for-bit
@@ -1304,6 +1315,44 @@ object SparkEntry {
         |                              list_slice(c.cv, bl.b * 8 + 1, bl.b * 8 + 8)),
         |         c.cid) AS rk
         |   FROM hb t CROSS JOIN bl CROSS JOIN cents c),
+        | adc AS (SELECT bl.b, c.cid,
+        |     list_sum(list_transform(generate_series(1, 8),
+        |       d -> (q.qv[bl.b * 8 + d] - c.cv[bl.b * 8 + d])
+        |          * (q.qv[bl.b * 8 + d] - c.cv[bl.b * 8 + d]))) AS sq
+        |   FROM bl CROSS JOIN cents c, q),
+        | per AS (SELECT n.vec_id,
+        |     list_reduce(list(a.sq ORDER BY n.b), (x, y) -> x + y) AS s
+        |   FROM enc n JOIN adc a ON n.b = a.b AND n.cid = a.cid
+        |   WHERE n.rk = 1 GROUP BY n.vec_id)
+        | SELECT vec_id, round(sqrt(s), 6) AS distance_approx
+        | FROM per ORDER BY sqrt(s), vec_id LIMIT 20""".stripMargin,
+    // composes the ann_ivf_portable and ann_pq_topk replays: the SAME
+    // md5-ranked rows serve as IVF centroids and PQ codebook; the
+    // candidate set is the nProbe=2 probed lists, then per-block
+    // encode + ADC + the b-ordered left fold, exactly as ann_pq_topk
+    "ann_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+        | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        | hb AS (SELECT vec_id, v,
+        |    cast(concat('0x', substr(md5(cast(vec_id as varchar)), 1, 8)) as bigint) % 1000000 AS h
+        |  FROM e WHERE vec_id <> 0),
+        | cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v AS cv
+        |   FROM hb ORDER BY h, vec_id LIMIT 8),
+        | assign AS (SELECT t.vec_id, t.v, c.cid,
+        |     row_number() OVER (PARTITION BY t.vec_id
+        |       ORDER BY list_distance(t.v, c.cv), c.cid) AS rk
+        |   FROM hb t CROSS JOIN cents c),
+        | probe AS (SELECT c.cid FROM cents c, q
+        |   ORDER BY list_distance(c.cv, q.qv), c.cid LIMIT 2),
+        | cand AS (SELECT a.vec_id, a.v FROM assign a
+        |   WHERE a.rk = 1 AND a.cid IN (SELECT cid FROM probe)),
+        | bl AS (SELECT unnest(generate_series(0, 7)) AS b),
+        | enc AS (SELECT t.vec_id, bl.b, c.cid,
+        |     row_number() OVER (PARTITION BY t.vec_id, bl.b
+        |       ORDER BY list_distance(list_slice(t.v, bl.b * 8 + 1, bl.b * 8 + 8),
+        |                              list_slice(c.cv, bl.b * 8 + 1, bl.b * 8 + 8)),
+        |         c.cid) AS rk
+        |   FROM cand t CROSS JOIN bl CROSS JOIN cents c),
         | adc AS (SELECT bl.b, c.cid,
         |     list_sum(list_transform(generate_series(1, 8),
         |       d -> (q.qv[bl.b * 8 + d] - c.cv[bl.b * 8 + d])

@@ -273,16 +273,26 @@ object SimilaritySearch {
     * OracleMarginSpec audits these against the round-6 grid boundary.
     */
   private[graft] def pqApproxRaw(embeddings: DataFrame, query: Array[Double],
-                                 blocks: Int = 8, codes: Int = 8): DataFrame = {
+                                 blocks: Int = 8, codes: Int = 8): DataFrame =
+    pqApproxOn(
+      embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("vec")),
+      portableSeedCentroids(embeddings, codes), query, blocks)
+
+  /** The PQ scoring core over a (vec_id, vec) frame with an explicit
+    * codebook: per-block encode argmin + ADC lookup + the block-order
+    * left fold. Shared by [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def pqApproxOn(vecs: DataFrame, seeds: Array[Array[Double]],
+                         query: Array[Double], blocks: Int): DataFrame = {
     val dims = query.length
     require(dims % blocks == 0, s"$dims dims not divisible into $blocks blocks")
     val blockLen = dims / blocks
-    val seeds = portableSeedCentroids(embeddings, codes)
     def blockOf(arr: Array[Double], b: Int): Array[Double] =
       arr.slice(b * blockLen, (b + 1) * blockLen)
     // adc(b)(c): left-to-right squared distance of the query's block b
     // to codeword c — the same fold order as VectorExprs.sq_dist
-    val adc: Array[Array[Double]] = Array.tabulate(blocks, codes) { (b, c) =>
+    val adc: Array[Array[Double]] = Array.tabulate(blocks, seeds.length) { (b, c) =>
       val (qb, cb) = (blockOf(query, b), blockOf(seeds(c), b))
       var s = 0.0; var d = 0
       while (d < blockLen) { val t = qb(d) - cb(d); s += t * t; d += 1 }
@@ -293,10 +303,35 @@ object SimilaritySearch {
       seeds.map(blockOf(_, b)))
     val approxSq = (0 until blocks).map(b =>
       element_at(lit(adc(b)), encodeB(b) + 1)).reduce(_ + _)
-    embeddings
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
-      .withColumn("approx", sqrt(approxSq))
+    vecs.withColumn("approx", sqrt(approxSq))
       .select(col("vec_id"), col("approx"))
+  }
+
+  /** IVF-PQ — the composite the large-vector-index world defaults to:
+    * probe the `nProbe` nearest inverted lists (portable md5-ranked
+    * centroids, Euclidean argmin assignment), then PQ-score ONLY the
+    * candidates with the same codebook. Both stages are the
+    * hash-proven portable machineries of [[ivfTopKPortable]] and
+    * [[pqTopK]]; the DuckDB oracle replays assignment → probe →
+    * encode → ADC end to end. Cost per query: candidate fraction
+    * ≈ nProbe/C of the corpus, each candidate `blocks` lookups.
+    */
+  def ivfPqTopK(embeddings: DataFrame, query: Array[Double], k: Int,
+                centroids: Int = 8, nProbe: Int = 2,
+                blocks: Int = 8): DataFrame = {
+    val cents = portableSeedCentroids(embeddings, centroids)
+    val probe = cents.zipWithIndex.map { case (c, i) =>
+      (math.sqrt(c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum), i)
+    }.sorted.take(nProbe).map(_._2)
+    val cands = embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      .withColumn("bucket", nearestCentroidL2(col("vec"), cents))
+      .where(col("bucket").isin(probe: _*))
+      .select(col("vec_id"), col("vec"))
+    pqApproxOn(cands, cents, query, blocks)
+      .orderBy(asc("approx"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("approx"), 6).as("distance_approx"))
   }
 
   /** Scalar int8 quantization ANN (maximum-inner-product top-k) — the

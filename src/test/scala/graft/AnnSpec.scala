@@ -103,6 +103,20 @@ class AnnSpec extends AnyFunSuite {
     assert(again.map(_.getLong(0)).toSeq === got.map(_.getLong(0)).toSeq)
   }
 
+  test("IVF-PQ: full probe reduces to plain PQ; real probe is a subset") {
+    val full = SimilaritySearch.ivfPqTopK(rest, query, 20, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pq = SimilaritySearch.pqTopK(rest, query, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === pq, "probing every list must equal unprobed PQ")
+    val sub = SimilaritySearch.ivfPqTopK(rest, query, 20)
+      .collect().map(_.getLong(0))
+    assert(sub.nonEmpty && sub.length <= 20)
+    val again = SimilaritySearch.ivfPqTopK(rest, query, 20)
+      .collect().map(_.getLong(0))
+    assert(again.toSeq === sub.toSeq, "IVF-PQ must be deterministic")
+  }
+
   test("SQ int8 ANN: high recall vs exact inner product, deterministic") {
     import org.apache.spark.sql.functions._
     val exact = rest
