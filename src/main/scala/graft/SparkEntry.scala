@@ -73,7 +73,8 @@ object SparkEntry {
     "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
 
   /** Shared CTE chain of the bigram-LM oracles: md5-content train
-    * slice, add-one bigram/context counts, train vocab V, per-doc
+    * slice, add-one bigram/context counts, bigram-participating train
+    * vocab V (matching the engine's single-pass derivation), per-doc
     * integer surprisal sums — ends at the `per` relation
     * (doc_id, is_train, n_bigrams, oov_bigrams, total_bits).
     */
@@ -88,7 +89,7 @@ object SparkEntry {
       | ctx AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS cc
       |   FROM big WHERE is_train = 1 GROUP BY 1),
       | v AS (SELECT count(DISTINCT x) AS vv
-      |   FROM (SELECT unnest(w) AS x FROM d WHERE is_train = 1)),
+      |   FROM (SELECT unnest(string_split(g, ' ')) AS x FROM big WHERE is_train = 1)),
       | sc AS (SELECT b.doc_id, b.is_train,
       |     coalesce(c.c, 0) AS c, coalesce(x.cc, 0) AS cc
       |   FROM big b LEFT JOIN cnts c ON b.g = c.g
@@ -1370,10 +1371,13 @@ object SparkEntry {
     "ann_sq_topk" ->
       """WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
         | q AS (SELECT v AS qv,
-        |     list_max(list_transform(v, x -> abs(x))) AS qs FROM e WHERE vec_id = 0),
+        |     CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |          THEN list_max(list_transform(v, x -> abs(x))) ELSE 1.0 END AS qs
+        |   FROM e WHERE vec_id = 0),
         | qc AS (SELECT list_transform(qv, x -> cast(floor(x * 127.0 / qs + 0.5) as bigint)) AS qc, qs FROM q),
         | sc AS (SELECT t.vec_id,
-        |     list_max(list_transform(t.v, x -> abs(x))) AS vs, t.v
+        |     CASE WHEN list_max(list_transform(t.v, x -> abs(x))) > 0
+        |          THEN list_max(list_transform(t.v, x -> abs(x))) ELSE 1.0 END AS vs, t.v
         |   FROM e t WHERE t.vec_id <> 0),
         | d AS (SELECT s.vec_id,
         |     list_sum(list_transform(generate_series(1, len(s.v)), i ->

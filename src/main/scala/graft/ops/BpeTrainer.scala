@@ -85,9 +85,27 @@ object BpeTrainer {
           }
         }
         if (!counts.isEmpty) {
+          // frequency ties break by UTF-8 BYTE order, not Java's UTF-16
+          // code-unit order: the distributed path's `orderBy(asc("pair"))`
+          // and the DuckDB oracle both collate binary UTF-8, and the two
+          // orders differ for U+E000..U+FFFF vs supplementary chars — a
+          // code-unit compare here could pick a different merge on a tie
+          // and diverge the whole table from the distributed path.
+          def utf8Lt(a: String, b: String): Boolean = {
+            val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var i = 0
+            val n = math.min(x.length, y.length)
+            while (i < n) {
+              val c = (x(i) & 0xff) - (y(i) & 0xff)
+              if (c != 0) return c < 0
+              i += 1
+            }
+            x.length < y.length
+          }
           var bestPair: String = null; var bestN = Long.MinValue
           counts.forEach { (p, n) =>
-            if (n > bestN || (n == bestN && p < bestPair)) { bestPair = p; bestN = n }
+            if (n > bestN || (n == bestN && utf8Lt(p, bestPair))) { bestPair = p; bestN = n }
           }
           out += ((i, bestPair, bestN))
           val merged = " " + bestPair.replace(" ", "") + " "

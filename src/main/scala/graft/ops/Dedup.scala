@@ -190,8 +190,12 @@ object Dedup {
                            shingle: Int = 5, minMatch: Int = 13,
                            maxBucket: Int = 64)(
       implicit spark: SparkSession): DataFrame = {
+    // localCheckpoint, NOT persist: a persist here leaks a CacheManager
+    // entry per call for the session lifetime (run()'s scaladoc covers
+    // the same trap); the lazy checkpoint materializes on first use and
+    // is freed when the plan is GC'd.
     val sigs = portableMinhashSignatures(docs, numHashes, shingle)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val banded = portableBandKeys(sigs, bands, numHashes)
     val w = Window.partitionBy("band", "bkey").orderBy("doc_id")
     val a = banded.withColumn("rk", row_number().over(w))

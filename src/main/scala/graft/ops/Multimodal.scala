@@ -55,7 +55,9 @@ object Multimodal {
       while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
       y += 1
     }
-    Decoded(0L, "image", w, h, 1, sum.toDouble / (w * h) / 255.0)
+    // long pixel count: w*h in Int overflows past ~2^31 pixels (a
+    // 47k×47k scan) and would silently divide by a negative count
+    Decoded(0L, "image", w, h, 1, sum.toDouble / (w.toLong * h) / 255.0)
   }
 
   /** STUB container decoder for audio/video ONLY (no audio/video codec

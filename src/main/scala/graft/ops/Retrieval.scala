@@ -31,6 +31,10 @@ object Retrieval {
                k1Centi: Long = 120, bCenti: Long = 75): DataFrame = {
     val (n, avgLenMilli) = {
       val r = docs.agg(count(lit(1)), sum(size(split(col("text"), " ")))).head
+      // empty-corpus guard BEFORE touching the sum: count 0 means the
+      // sum is null (NPE on getLong) and the average is 0/0 — fail with
+      // the actual problem, not a division artifact (pcaDet precedent)
+      require(r.getLong(0) > 0, "bm25TopK: empty corpus — nothing to rank")
       (r.getLong(0), 1000L * r.getLong(1) / r.getLong(0))
     }
     val hits = docs

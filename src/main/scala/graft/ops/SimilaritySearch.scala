@@ -354,12 +354,19 @@ object SimilaritySearch {
 
   /** Unrounded twin of [[sqTopK]] for the round-6 margin audit. */
   private[graft] def sqApproxRaw(embeddings: DataFrame, query: Array[Double]): DataFrame = {
-    val qScale = query.map(math.abs).max
+    // zero-vector guard: an all-zero query/vector has max-abs scale 0 and
+    // the unguarded division makes NaN codes (the ANSI bigint cast then
+    // throws). Clamping the scale to 1 is exact: a zero scale implies
+    // every component is 0, so the codes and the dot are 0 either way.
+    // The oracle SQL applies the identical CASE clamp.
+    val qScale = { val m = query.map(math.abs).max; if (m > 0) m else 1.0 }
     val qCodes: Array[Long] = query.map(x => math.floor(x * 127.0 / qScale + 0.5).toLong)
     embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
       .withColumn("qc", lit(qCodes))
-      .withColumn("vscale", expr("array_max(transform(vec, x -> abs(x)))"))
+      .withColumn("vscale",
+        expr("case when array_max(transform(vec, x -> abs(x))) > 0D " +
+          "then array_max(transform(vec, x -> abs(x))) else 1.0D end"))
       .withColumn("idot", expr(
         "aggregate(sequence(1, size(vec)), 0L, (acc, i) -> acc + " +
           "element_at(qc, i) * cast(floor(element_at(vec, i) * 127.0D / vscale + 0.5D) as bigint))")
