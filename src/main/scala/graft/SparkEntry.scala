@@ -723,6 +723,13 @@ object SparkEntry {
       // candidate pairs with their cosine (the op's 0.95 default is for
       // real near-dup corpora)
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = -1.0)),
+    // PORTABLE twin of embedding_neardup: md5-derived hyperplanes →
+    // sign buckets → capped anchor pairing → exact cosine, every stage
+    // recomputable by the oracle; threshold -1 keeps the full candidate
+    // set so the cosine verify arithmetic is hash-checked too
+    "embedding_neardup_portable" -> ((s, dir) =>
+      Dedup.embeddingNearDupPortable(t(s, dir, "embeddings"), threshold = -1.0)
+        .orderBy("a", "b")),
     "fingerprints" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // exploded to scalar (doc_id, fingerprint) rows — the driver's
@@ -1296,6 +1303,27 @@ object SparkEntry {
         | FROM e JOIN sigs s USING (vec_id), q
         | WHERE e.vec_id <> 0 AND s.bucket = q.qbucket
         | ORDER BY list_distance(e.v, q.qv), e.vec_id LIMIT 20""".stripMargin,
+    // replays the PORTABLE embedding near-dup stage for stage: the 8
+    // md5-derived hyperplanes (same '<bit>_<dim>' recipe as
+    // ann_lsh_portable), sign-pattern buckets, the rank<=64 anchor
+    // pairing (anchor < member, portableMinhashPairs shape), exact
+    // cosine on every surviving candidate
+    "embedding_neardup_portable" ->
+      """WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+        | planes AS (SELECT b, list_transform(generate_series(0, 63),
+        |     d -> ((cast(concat('0x', substr(md5(concat(b, '_', d)), 1, 8)) as bigint) % 2001) - 1000) / 1000.0) AS p
+        |   FROM generate_series(0, 7) t(b)),
+        | sigs AS (SELECT e.vec_id,
+        |     string_agg(CASE WHEN list_inner_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END, '' ORDER BY pl.b) AS bucket
+        |   FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+        | anch AS (SELECT vec_id, bucket,
+        |     row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk FROM sigs),
+        | pairs AS (SELECT DISTINCT a.vec_id AS a, m.vec_id AS b
+        |   FROM anch a JOIN sigs m USING (bucket)
+        |   WHERE a.rk <= 64 AND a.vec_id < m.vec_id)
+        | SELECT p.a, p.b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+        | FROM pairs p JOIN e ea ON p.a = ea.vec_id JOIN e eb ON p.b = eb.vec_id
+        | ORDER BY a, b""".stripMargin,
     // replays the PQ stage for stage: md5-ranked codebook rows sliced
     // per block, per-(vec, block) argmin by (list_distance, cid), ADC
     // squared distances via a left-to-right dimension loop, then the

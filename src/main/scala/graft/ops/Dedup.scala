@@ -365,4 +365,52 @@ object Dedup {
       .where(col("cosine") >= threshold && col("src") < col("dst"))
       .select(col("src").as("a"), col("dst").as("b"), col("cosine"))
   }
+
+  /** PORTABLE twin of [[embeddingNearDup]] — the same machinery shape
+    * (random-hyperplane bucketing → capped bucket pairing → exact
+    * cosine verify) with every stage recomputable by an external
+    * engine: the hyperplanes are the md5-derived unit-cube coordinates
+    * of [[SimilaritySearch.portablePlanes]] (the `'<bit>_<dim>'` 8-hex
+    * recipe the portable ANN twins share), the bucket key is the sign
+    * pattern of the plane dots, and the candidate pairs are the
+    * hot-bucket-capped anchor join of [[portableMinhashPairs]] (the
+    * lowest `maxBucket` ids per bucket pair with every later member —
+    * linear in bucket size, never K²). Reference anchor: the
+    * VISUALLY_SIMILAR_TO path, similarity_pipeline.py:176-192.
+    *
+    * Scale shape: one codegen'd map computes the `bits` plane dots per
+    * vector (no join — the planes are literals), one shuffle on the
+    * bucket key for the window + pair join, then a verify join that
+    * touches only bounded candidates. The DuckDB oracle replays plane
+    * generation → bucketing → anchor pairing → cosine bit-for-bit.
+    */
+  def embeddingNearDupPortable(embeddings: DataFrame, threshold: Double = 0.95,
+                               bits: Int = 8, dims: Int = 64,
+                               maxBucket: Int = 64): DataFrame = {
+    import graft.ops.SimilaritySearch.{cosine, portablePlanes}
+    val planes = portablePlanes(bits, dims)
+    // localCheckpoint, not persist: self-joined lineage would otherwise
+    // replay the scan+bucketing per side (portableMinhashPairs precedent)
+    val bucketed = embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      .withColumn("bucket", concat(planes.map(p =>
+        when(SimilaritySearch.dot(col("vec"), lit(p)) >= 0, lit("1"))
+          .otherwise(lit("0"))).toIndexedSeq: _*))
+      .localCheckpoint(false)
+    val w = Window.partitionBy("bucket").orderBy("vec_id")
+    val a = bucketed.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= maxBucket)
+      .select(col("vec_id").as("a"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("b"), col("bucket"))
+    val cands = a.join(b, Seq("bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val va = bucketed.select(col("vec_id").as("a"), col("vec").as("va"))
+    val vb = bucketed.select(col("vec_id").as("b"), col("vec").as("vb"))
+    cands.join(va, Seq("a")).join(vb, Seq("b"))
+      .withColumn("cos_raw", cosine(col("va"), col("vb")))
+      .where(col("cos_raw") >= threshold)
+      .select(col("a"), col("b"), round(col("cos_raw"), 6).as("cosine"))
+  }
 }

@@ -64,6 +64,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains(("0", "99")))
   }
 
+  test("portable embedding near-dup: planted duplicates found, cap keeps pairs linear") {
+    // 40 spread vectors + an exact copy of vector 0 under a high id:
+    // identical vectors share every sign bucket, so the pair must
+    // survive the bucketing and verify at cosine ~ 1
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 17 + d)).toSeq, 0)
+    } :+ ((99L, Array.tabulate(16)(d => math.sin(0 * 17 + d)).toSeq, 0))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupPortable(df, threshold = 0.999, dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 99L && p._3 > 0.999))
+    // hot bucket: 150 identical vectors under cap 4 stay linear and
+    // the whole group remains reachable from the low anchors
+    val hot = (0 until 150).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.cos(d).abs + 1.0).toSeq, 0))
+    val hotPairs = Dedup.embeddingNearDupPortable(
+      hot.toDF("vec_id", "embedding", "label"),
+      threshold = 0.999, dims = 16, maxBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hotPairs.length <= 4 * 150)
+    assert((hotPairs.map(_._1).toSet ++ hotPairs.map(_._2).toSet)
+      === (0 until 150).map(_.toLong).toSet)
+  }
+
   test("bpe token estimate: whitespace tokens + ceil(len/4) sub-tokens") {
     // "internationalization" -> ceil(20/4)=5; "a" -> 1; "cat" -> 1
     val df = Seq("internationalization a cat").toDF("text")
