@@ -766,6 +766,16 @@ object SparkEntry {
           round(col("meanLuma"), 6).as("mean_luma"))
         .orderBy("media_id")
     }),
+    // REAL audio decode (javax.sound.sampled over real WAV/PCM bytes):
+    // the oracle never hears the audio — it recomputes rate, sample
+    // count and |amplitude| sum from the closed-form sample formula, so
+    // a hash match proves encoder → RIFF bytes → decoder → sample
+    // arithmetic round-trips exactly; every output is an exact integer
+    "multimodal_audio_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeAudioFeatures(Multimodal.syntheticMedia(s, 1000))
+        .orderBy("media_id")
+    }),
     "fuzzy_link" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -1173,22 +1183,50 @@ object SparkEntry {
         | WHERE cast(concat('0x', substr(md5(text), 1, 8)) as bigint) % 1000000 < 300000
         | ORDER BY doc_id""".stripMargin,
     // full decode table: image rows mirror the PNG pixel formula (as in
-    // multimodal_image_decode); audio/video rows mirror the synthetic
-    // container header fields the stub decoder parses
+    // multimodal_image_decode); audio rows mirror the WAV sample formula
+    // (real decode — width carries the sample rate, nFrames the sample
+    // count, mean_luma the mean |amplitude|); video rows mirror the
+    // synthetic container header fields the stub decoder parses
     "multimodal_decode" ->
       """WITH d AS (SELECT i,
         |    CASE cast(i % 3 as int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
         |  FROM generate_series(0, 999) t(i))
         | SELECT cast(i as bigint) AS media_id, kind,
-        |  cast(CASE WHEN kind = 'image' THEN 8 + i % 16 ELSE 64 + i % 256 END as int) AS width,
-        |  cast(CASE WHEN kind = 'image' THEN 8 + (i // 16) % 16 ELSE 64 + (i // 7) % 256 END as int) AS height,
-        |  cast(CASE WHEN kind = 'video' THEN 1 + i % 290 ELSE 1 END as int) AS n_frames,
+        |  cast(CASE WHEN kind = 'image' THEN 8 + i % 16
+        |            WHEN kind = 'audio' THEN 8000 + (i % 8) * 1000
+        |            ELSE 64 + i % 256 END as int) AS width,
+        |  cast(CASE WHEN kind = 'image' THEN 8 + (i // 16) % 16
+        |            WHEN kind = 'audio' THEN 1
+        |            ELSE 64 + (i // 7) % 256 END as int) AS height,
+        |  cast(CASE WHEN kind = 'video' THEN 1 + i % 290
+        |            WHEN kind = 'audio' THEN 256 + i % 512
+        |            ELSE 1 END as int) AS n_frames,
         |  round(CASE WHEN kind = 'image'
         |    THEN cast(list_sum(list_transform(generate_series(0, (8 + i % 16) * (8 + (i // 16) % 16) - 1),
         |      p -> ((p % (8 + i % 16)) * 7 + (p // (8 + i % 16)) * 13 + i) % 256)) as double)
         |      / ((8 + i % 16) * (8 + (i // 16) % 16)) / 255.0
+        |    WHEN kind = 'audio'
+        |    THEN cast(list_sum(list_transform(generate_series(0, 255 + i % 512),
+        |      j -> abs(((i * 131 + j * 37) % 65536) - 32768))) as double)
+        |      / (256 + i % 512) / 32768.0
         |    ELSE cast(i % 251 as double) / 255.0 END, 6) AS mean_luma
         | FROM d ORDER BY media_id""".stripMargin,
+    // replays the REAL WAV decode analytically: rate/count from the id
+    // formulas, |amplitude| sum over the closed-form sample pattern —
+    // all-integer outputs, truncating milli division
+    "multimodal_audio_decode" ->
+      """WITH a AS (SELECT i, 8000 + (i % 8) * 1000 AS sample_rate, 256 + i % 512 AS n
+        |   FROM generate_series(0, 999) t(i) WHERE i % 3 = 1),
+        | s AS (SELECT i, sample_rate, n, unnest(generate_series(0, n - 1)) AS j FROM a),
+        | t AS (SELECT i, sample_rate, n,
+        |     sum(abs(((i * 131 + j * 37) % 65536) - 32768)) AS amp_sum
+        |   FROM s GROUP BY 1, 2, 3)
+        | SELECT cast(i as bigint) AS media_id,
+        |   cast(sample_rate as bigint) AS sample_rate,
+        |   cast(n as bigint) AS n_samples,
+        |   cast(amp_sum as bigint) AS amp_sum,
+        |   (1000 * cast(amp_sum as bigint)) // (cast(n as bigint) * 32768) AS amp_milli
+        | FROM t ORDER BY media_id""".stripMargin,
     // every 30th frame index of each video row, dims from the container
     // header formulas
     "multimodal_frame_sample" ->

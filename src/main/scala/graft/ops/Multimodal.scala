@@ -17,10 +17,13 @@ import javax.imageio.ImageIO
   * JDK's `javax.imageio` (no native deps), mirroring the reference's
   * frame decode (pipeline/video_input/inspection_video_input.py:118-138)
   * at the pixel level — width/height/mean-luma come from the decoded
-  * raster. Audio/video decode remains STUBBED ([[fakeDecode]], clearly
-  * marked — no audio/video codecs ship with the JDK or this container);
-  * the dataflow around the stub (schema, batch shape, partitioning,
-  * frame sampling) is real and tested either way.
+  * raster. The AUDIO path is real too: payloads are WAV/PCM bytes
+  * decoded with `javax.sound.sampled` (also JDK-only) — sample rate,
+  * sample count and mean amplitude come from the decoded sample
+  * stream. VIDEO decode remains STUBBED ([[fakeDecode]], clearly
+  * marked — no video codec ships with the JDK or this container); the
+  * dataflow around the stub (schema, batch shape, partitioning, frame
+  * sampling) is real and tested either way.
   */
 object Multimodal {
 
@@ -60,10 +63,66 @@ object Multimodal {
     Decoded(0L, "image", w, h, 1, sum.toDouble / (w.toLong * h) / 255.0)
   }
 
-  /** STUB container decoder for audio/video ONLY (no audio/video codec
-    * in the JDK or this container). The stub parses a synthetic
+  /** Real WAV/PCM audio decode via `javax.sound.sampled` (the audio
+    * analog of the [[decodeImage]] move — JDK-only, no native deps):
+    * parses the RIFF container, checks the 16-bit mono little-endian
+    * PCM format, and folds the decoded sample stream into exact
+    * integers — sample count and summed |amplitude| — before any float
+    * touches a value, so the result is bit-reproducible regardless of
+    * read order and replayable by an engine that never hears the audio.
+    */
+  def decodeAudio(payload: Array[Byte]): AudioDecoded = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian, s"expected 16-bit mono little-endian PCM, got $fmt")
+      val bytes = ais.readAllBytes()
+      var sum = 0L
+      var n = 0L
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val s = (((bytes(i + 1) & 0xff) << 8) | (bytes(i) & 0xff)).toShort.toLong
+        sum += math.abs(s)
+        n += 1
+        i += 2
+      }
+      AudioDecoded(0L, fmt.getSampleRate.toLong, n, sum)
+    } finally ais.close()
+  }
+
+  final case class AudioDecoded(media_id: Long, sample_rate: Long,
+                                n_samples: Long, amp_sum: Long)
+
+  /** Real WAV/PCM bytes for the synthetic audio rows: 16-bit mono
+    * little-endian samples s_i = ((seed·131 + i·37) mod 65536) − 32768,
+    * encoded through `javax.sound.sampled.AudioSystem.write` — so the
+    * decode path exercises the real RIFF parser and every decoded
+    * field is closed-form from (sampleRate, nSamples, seed).
+    */
+  def syntheticWav(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((seed * 131 + i * 37) % 65536) - 32768).toInt
+      data(i * 2) = (s & 0xff).toByte
+      data(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** STUB container decoder for VIDEO ONLY (no video codec in the JDK
+    * or this container; image and audio decode are real — see
+    * [[decodeImage]] / [[decodeAudio]]). The stub parses a synthetic
     * container header — magic "GRAF", then width/height/frame-count
-    * ints and a mean-luma byte — instead of decoding real samples; a
+    * ints and a mean-luma byte — instead of decoding real frames; a
     * real implementation would replace this with a codec lib. The
     * dataflow around it (batched per-partition map, fixed output
     * schema, frame sampling) is real either way, and because the header
@@ -90,8 +149,14 @@ object Multimodal {
 
   /** Batched decode + feature extraction (mapPartitions = the batch
     * boundary; decoder state initialized once per partition). Image rows
-    * go through the real `javax.imageio` decoder; audio/video through
-    * the marked stub.
+    * go through the real `javax.imageio` decoder, audio rows through the
+    * real `javax.sound.sampled` decoder, video through the marked stub.
+    *
+    * Unified `Decoded` schema across kinds — audio maps as
+    * width = sample rate, height = channels (1), nFrames = sample
+    * count, meanLuma = mean |amplitude| in [0,1]
+    * (amp_sum / n / 32768, the same integer-sum-then-one-float-chain
+    * discipline as the image path).
     */
   def decodeFeatures(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -102,12 +167,39 @@ object Multimodal {
         // overhead for in-memory byte payloads on an executor
         ImageIO.setUseCache(false)
         it.map { case (id, kind, payload) =>
-          val d = if (kind == "image") decodeImage(payload)
-                  else fakeDecode(payload, kind)
+          val d = kind match {
+            case "image" => decodeImage(payload)
+            case "audio" =>
+              val a = decodeAudio(payload)
+              Decoded(0L, "audio", a.sample_rate.toInt, 1, a.n_samples.toInt,
+                a.amp_sum.toDouble / a.n_samples / 32768.0)
+            case _ => fakeDecode(payload, kind)
+          }
           d.copy(media_id = id)
         }
       }
       .toDF()
+  }
+
+  /** Audio-only decode surface with the natural audio column names —
+    * every output an exact integer: (media_id, sample_rate, n_samples,
+    * amp_sum, amp_milli) with amp_milli = (1000·amp_sum) div
+    * (n_samples·32768), so the whole table is engine-portable with no
+    * float anywhere.
+    */
+  def decodeAudioFeatures(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.where(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val a = decodeAudio(p)
+          (id, a.sample_rate, a.n_samples, a.amp_sum,
+            1000L * a.amp_sum / (a.n_samples * 32768L))
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "amp_sum", "amp_milli")
   }
 
   /** Deterministic gray PNG: pixel(x, y) = (x*7 + y*13 + seed) % 256.
@@ -136,11 +228,12 @@ object Multimodal {
     * media_id (id % 3 → image/audio/video) so which rows are images is a
     * plain predicate; image payloads are REAL PNGs with formula-derived
     * dims (w = 8 + id%16, h = 8 + (id/16)%16) and pixel pattern
-    * [[syntheticPng]]; audio/video payloads are [[syntheticContainer]]
-    * bytes whose header fields are formula-derived from media_id
-    * (w = 64 + id%256, h = 64 + (id/7)%256, video nFrames =
-    * 1 + id%290, luma byte = id%251) so every decode output is
-    * independently recomputable.
+    * [[syntheticPng]]; audio payloads are REAL WAVs ([[syntheticWav]],
+    * sample rate = 8000 + (id%8)·1000, n = 256 + id%512, seed = id);
+    * video payloads are [[syntheticContainer]] bytes whose header fields
+    * are formula-derived from media_id (w = 64 + id%256,
+    * h = 64 + (id/7)%256, nFrames = 1 + id%290, luma byte = id%251) —
+    * so every decode output is independently recomputable.
     */
   def syntheticMedia(spark: SparkSession, rows: Long, partitions: Int = 8): DataFrame = {
     import spark.implicits._
@@ -148,14 +241,17 @@ object Multimodal {
     spark.range(0, rows, 1, partitions).map { id =>
       val rng = new Rng(Rng.mix(0x11ed1a, id))
       val kind = kinds((id % 3).toInt)
-      val payload =
-        if (kind == "image")
+      val payload = kind match {
+        case "image" =>
           syntheticPng(8 + (id % 16).toInt, 8 + ((id / 16) % 16).toInt, id)
-        else syntheticContainer(
+        case "audio" =>
+          syntheticWav(8000 + (id % 8).toInt * 1000, 256 + (id % 512).toInt, id)
+        case _ => syntheticContainer(
           64 + (id % 256).toInt, 64 + ((id / 7) % 256).toInt,
-          if (kind == "video") 1 + (id % 290).toInt else 1,
+          1 + (id % 290).toInt,
           (id % 251).toInt,
           Array.fill(16 + rng.nextInt(48))(rng.nextLong().toByte))
+      }
       (id, kind, payload, rng.nextInt(2) == 0)
     }.toDF("media_id", "kind", "payload", "flag")
   }

@@ -31,6 +31,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.meanLuma === 128.0 / 255.0)
   }
 
+  test("decodeAudio reads real WAV bytes: exact rate, count and amplitude sum") {
+    val rate = 11000; val n = 300; val seed = 7L
+    val a = Multimodal.decodeAudio(Multimodal.syntheticWav(rate, n, seed))
+    assert(a.sample_rate === rate)
+    assert(a.n_samples === n.toLong)
+    // closed-form |amplitude| sum of s_i = ((seed*131 + i*37) % 65536) - 32768
+    val sum = (0 until n).map(i =>
+      math.abs(((seed * 131 + i * 37) % 65536) - 32768)).sum
+    assert(a.amp_sum === sum)
+    // a non-WAV payload must fail loudly, not decode garbage
+    assertThrows[Exception](
+      Multimodal.decodeAudio(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+  }
+
   test("synthetic container header round-trips through the stub decoder") {
     val payload = Multimodal.syntheticContainer(320, 240, 77, 129,
       Array[Byte](1, 2, 3))
@@ -52,7 +66,15 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getInt(1) === 8 + (id % 16).toInt)
       assert(r.getInt(2) === 8 + ((id / 16) % 16).toInt)
     }
-    // audio/video rows still flow through the marked stub
+    // audio rows through the real WAV decoder (width carries the sample
+    // rate in the unified schema), video through the marked stub
+    val auds = decoded.where(col("kind") === "audio")
+      .select("media_id", "width", "nFrames").collect()
+    auds.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 8000 + (id % 8).toInt * 1000)
+      assert(r.getInt(2) === 256 + (id % 512).toInt)
+    }
     assert(decoded.where(col("kind") =!= "image").count() === 40)
   }
 
