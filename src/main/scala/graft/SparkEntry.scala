@@ -100,6 +100,35 @@ object SparkEntry {
       |     cast(sum(length(bin((cc + vv) // (c + 1))) - 1) as bigint) AS total_bits
       |   FROM sc, v GROUP BY doc_id, is_train)""".stripMargin
 
+  /** Shared CTE chain of the substring-dedup oracles: stride-1 10-word
+    * grams, per-gram first/second owners, cross-doc hit positions, the
+    * pos−prev ≤ k island merge — ends at the `spans` relation
+    * (doc_id, span_start, span_len, n_grams, other_doc).
+    */
+  private val substringSpanCtes =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      | p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 9)) AS pos
+      |   FROM w WHERE len(ws) >= 10),
+      | g AS (SELECT doc_id, pos, array_to_string(list_slice(ws, pos, pos + 9), ' ') AS gram FROM p),
+      | own AS (SELECT gram, min(doc_id) AS m1 FROM g GROUP BY gram),
+      | dup AS (SELECT g.gram, o.m1, min(g.doc_id) AS m2 FROM g JOIN own o USING (gram)
+      |   WHERE g.doc_id > o.m1 GROUP BY g.gram, o.m1),
+      | hits AS (SELECT g.doc_id, g.pos,
+      |     CASE WHEN g.doc_id = d.m1 THEN d.m2 ELSE d.m1 END AS other_doc
+      |   FROM g JOIN dup d USING (gram)),
+      | isl AS (SELECT doc_id, pos, other_doc,
+      |     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+      |          THEN 0 ELSE 1 END AS brk
+      |   FROM hits),
+      | i2 AS (SELECT doc_id, pos, other_doc,
+      |     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      |   FROM isl),
+      | spans AS (SELECT doc_id, cast(min(pos) as bigint) AS span_start,
+      |     cast(max(pos) + 10 - min(pos) as bigint) AS span_len,
+      |     cast(count(*) as bigint) AS n_grams,
+      |     cast(min(other_doc) as bigint) AS other_doc
+      |   FROM i2 GROUP BY doc_id, island)""".stripMargin
+
   /** Code-generated CTE chain replaying `k` BPE merge iterations:
     * w0 = char-symbolized word counts, then per iteration the pair
     * counts (p_i), the (n desc, pair asc) argmax (b_i), and the
@@ -685,6 +714,18 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.0)
     }),
+    // variable-length duplicated-span detection (the exact-substring
+    // dedup family): maximal cross-doc word spans >= 10 reconstructed
+    // from stride-1 gram hits — oracle replays grams → owners → hit
+    // positions → island merge exactly
+    "substring_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"))
+        .orderBy("doc_id", "span_start")),
+    // keep-first span REMOVAL over the same spans: docs rewritten with
+    // every non-canonical duplicated span dropped, word-position HOF
+    // filter replayed by the oracle's nested list lambdas
+    "substring_scrub" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(t(s, dir, "documents")).orderBy("doc_id")),
     "simhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 16)
@@ -1269,6 +1310,28 @@ object SparkEntry {
          |${portableMinhashCtes("d")}
          | SELECT a, b, cast(n_match as bigint) AS n_match
          | FROM scored WHERE n_match >= 13 ORDER BY a, b""".stripMargin,
+    // replays the substring-dedup span detection stage for stage (see
+    // substringSpanCtes): any shared span of length L >= 10 is exactly
+    // the island of its L-9 stride-1 gram hits
+    "substring_spans" ->
+      s"""$substringSpanCtes
+        | SELECT doc_id, span_start, span_len, n_grams, other_doc
+        | FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    // the same spans, then keep-first removal: non-canonical spans
+    // (other_doc < doc_id) drop their word positions via the identical
+    // nested-lambda filter the engine runs
+    "substring_scrub" ->
+      s"""$substringSpanCtes,
+        | sp AS (SELECT doc_id,
+        |     list(struct_pack(s := span_start, l := span_len)) AS rm
+        |   FROM spans WHERE other_doc < doc_id GROUP BY doc_id)
+        | SELECT d.doc_id,
+        |   CASE WHEN sp.rm IS NULL THEN d.text
+        |   ELSE coalesce(array_to_string(list_transform(
+        |     list_filter(generate_series(1, len(string_split(d.text, ' '))),
+        |       p -> NOT len(list_filter(sp.rm, x -> p >= x.s AND p < x.s + x.l)) > 0),
+        |     p -> string_split(d.text, ' ')[p]), ' '), '') END AS text
+        | FROM documents d LEFT JOIN sp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "cc_sizes" ->
       """WITH o AS (SELECT doc_id, lang,
         |   CASE WHEN lag(lang) OVER w = lang AND lag(doc_id) OVER w = doc_id - 1

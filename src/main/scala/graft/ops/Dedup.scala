@@ -366,6 +366,88 @@ object Dedup {
       .select(col("src").as("a"), col("dst").as("b"), col("cosine"))
   }
 
+  // ---------- substring-level cross-document dedup ----------
+
+  /** Variable-length duplicated-span detection — the third dedup family
+    * next to whole-document (exact/minhash) and fixed-tile
+    * ([[Repetition.segmentDedup]]) dedup: find every MAXIMAL word span
+    * of length ≥ `k` that some other document also contains (the
+    * exact-substring semantics of suffix-array corpus dedup à la
+    * deduplicate-text-datasets, here anchored on overlapping k-word
+    * grams instead of a suffix array: any shared span of length L ≥ k
+    * contains exactly L − k + 1 shared k-grams at stride 1, so merging
+    * the gram hit positions per document reconstructs the maximal
+    * duplicated spans exactly).
+    *
+    * Output: one row per (doc, maximal span) — (doc_id, span_start,
+    * span_len, n_grams, other_doc) with 1-based word positions and
+    * other_doc = the smallest OTHER document sharing at least one gram
+    * of the span (the keep-first canonical pointer).
+    *
+    * Scale shape: explode to the stride-1 gram stream (~word count of
+    * the corpus), a partial-agg min per gram, a join back on the gram
+    * key, then a per-doc window to merge islands — shuffles on the gram
+    * key and the doc key only, state per gram is one long. At 100 TB
+    * the gram key would be a 64-bit digest ([[Repetition.segmentDedup]]
+    * precedent); the string key is kept for bit-exact oracle parity.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+    // the gram stream feeds the owner table AND the hit join: checkpoint
+    // so the explode runs once (portableMinhashPairs precedent)
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, size(ws) - ${k - 1})")).as("pos"), col("ws"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"array_join(slice(ws, pos, $k), ' ')").as("gram"))
+      .localCheckpoint(false)
+    val own = grams.groupBy("gram").agg(min("doc_id").as("m1"))
+    // m2 = second-smallest owner; non-empty iff >= 2 distinct docs share
+    // the gram (a gram repeated only within one doc never joins here)
+    val dup = grams.join(own, Seq("gram")).where(col("doc_id") > col("m1"))
+      .groupBy("gram", "m1").agg(min("doc_id").as("m2"))
+    val hits = grams.join(dup, Seq("gram"))
+      .select(col("doc_id"), col("pos"),
+        when(col("doc_id") === col("m1"), col("m2"))
+          .otherwise(col("m1")).as("other_doc"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    // island merge: stride-1 hits at pos and prev merge when the k-word
+    // intervals overlap or touch (pos − prev ≤ k); first row starts one
+    val isl = hits
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(wd) <= k, 0).otherwise(1))
+      .withColumn("island",
+        sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), max("pos").as("e"),
+        count(lit(1)).as("n_grams"), min("other_doc").as("other_doc"))
+      .select(col("doc_id"), col("s").cast("long").as("span_start"),
+        (col("e") + lit(k) - col("s")).cast("long").as("span_len"),
+        col("n_grams"), col("other_doc"))
+  }
+
+  /** Keep-first span removal over [[duplicateSpans]] output: rewrite
+    * each document with every duplicated span REMOVED unless this doc
+    * is the span's canonical owner (other_doc > doc_id keeps it) —
+    * deduplicate-text-datasets' removal arm. Map-side: the spans are
+    * aggregated per doc and the filter runs as one HOF over the word
+    * positions; docs without spans pass through unchanged.
+    */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+    val spans = duplicateSpans(docs, k)
+      .where(col("other_doc") < col("doc_id"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("spans"))
+    docs.select(col("doc_id"), col("text"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("text")).otherwise(
+          expr("array_join(transform(filter(sequence(1, size(split(text, ' '))), " +
+            "p -> NOT exists(spans, s -> p >= s.span_start AND p < s.span_start + s.span_len)), " +
+            "p -> element_at(split(text, ' '), p)), ' ')")).as("text"))
+  }
+
   /** PORTABLE twin of [[embeddingNearDup]] — the same machinery shape
     * (random-hyperplane bucketing → capped bucket pairing → exact
     * cosine verify) with every stage recomputable by an external

@@ -159,6 +159,35 @@ class DedupSpec extends AnyFunSuite {
     pairs.filterKeys(p => p._2 == 2L).values.foreach(h => assert(h > 0))
   }
 
+  test("duplicate spans: planted cross-doc span found maximal, within-doc repeats ignored") {
+    val common = (1 to 12).map(i => s"c$i").mkString(" ") // 12 shared words
+    val docs = Seq(
+      (1L, s"a1 a2 $common a3 a4"),              // span at word 3
+      (2L, s"b1 $common b2 b3 b4 b5"),           // same span at word 2
+      (3L, (1 to 15).map(i => s"z$i").mkString(" ")), // unique chaff
+      // a 10-word tile repeated WITHIN one doc only: never a cross-doc span
+      (4L, ((1 to 10) ++ (1 to 10)).map(i => s"r$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // a shared 12-word span = 3 stride-1 grams merged into ONE maximal island
+    assert(spans.toSet === Set((1L, 3L, 12L, 3L, 2L), (2L, 2L, 12L, 3L, 1L)))
+  }
+
+  test("remove duplicate spans: keep-first scrub drops only the non-canonical copy") {
+    val common = (1 to 12).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $common a3 a4"),
+      (2L, s"b1 $common b2 b3 b4 b5"),
+      (3L, common) // fully covered by the span -> scrubs to empty, not null
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, k = 10).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got(0) === (1L, s"a1 a2 $common a3 a4")) // canonical owner keeps it
+    assert(got(1) === (2L, "b1 b2 b3 b4 b5"))       // span words removed
+    assert(got(2) === (3L, ""))                     // empty string, never null
+  }
+
   test("canonicalize is transitively consistent: one keeper per chain") {
     // pair-at-a-time dropping would keep both 1 and 3 of the chain
     // 1~2, 2~3; CC canonicalization keeps exactly one (the min id)
