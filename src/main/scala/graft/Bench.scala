@@ -145,10 +145,12 @@ object Bench {
       // then B back-to-back (near-identical host conditions within the
       // pair) and the rep with the highest efficiency — the least
       // interference — is reported whole. Runs are JIT-warmed.
-      // 4 reps: single-pair efficiency on this shared VM spreads ~±0.08
-      // around ~0.78 (BASELINE.md §6) — the reported least-interfered
-      // pair needs enough draws to dodge neighbor-VM noise windows
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
+      // 6 reps: single-pair efficiency on this shared VM spreads ~±0.08
+      // around ~0.78 (BASELINE.md §6), and round 4 showed the MEDIAN is
+      // the gated number — 4 draws left it hostage to one bad window
+      // (driver run: median 0.772 vs committed 0.802). More draws make
+      // the central tendency, not just the best pair, robust.
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "6").toInt
       // AQE off for the scaling legs only (SPARK_GRAFT_SCALE_AQE=1
       // restores it): see GraftSession.apply scaladoc — the AQE planning
       // constant is serial driver time paid equally at both levels, which
@@ -230,10 +232,13 @@ object Bench {
     // rep protocol for the headline, mirroring the scaling pairs' honesty:
     // single-sample headlines on this shared VM spread ±20%, so one run
     // can't distinguish noise from regression. Best + all runs recorded.
+    // 3 reps: round 4's driver record had [61725, 51052] — a single bad
+    // draw inverted the "JIT-warm second rep is faster" claim; a third
+    // rep makes the steady-state claim robust to one outlier.
     // clamped to ≥1: REPS=0 with PIPELINE=1 would otherwise still count
     // as a FULL run and clobber the canonical BENCH.json with triples:0
     val headlineReps =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_HEADLINE_REPS", "2").toInt)
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_HEADLINE_REPS", "3").toInt)
     var spark = session(cpus)
     val headlineRuns: Seq[(Double, Long)] =
       if (doPipeline) (1 to headlineReps).map { _ =>
@@ -269,9 +274,17 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) => s""""$k":"$e"""" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","query_errors":{""", ",", "}")
+    // operator-only windows for harness-heavy entries (streaming queries
+    // stage a temp-parquet source + boot the micro-batch engine; the
+    // `queries` figure bills that setup to the operator — this doesn't)
+    val opJson =
+      if (SparkEntry.operatorSec.isEmpty) ""
+      else SparkEntry.operatorSec.toSeq.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString(""","operator_sec":{""", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum + pipeSec
     val json =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir",""" +
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$errJson$opJson,"sf":"$sfDir",""" +
         f""""pipeline_rows":$benchRows,"triples":$nTriples,"triples_per_sec":$tps%.0f$headlineJson$scalingJson$weakJson}"""
     // The committed BENCH.json is the canonical full-bench record: only a
     // FULL run (scaling + pipeline + complete query sweep, no errors) may

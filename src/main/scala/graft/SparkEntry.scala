@@ -20,6 +20,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Operator-only wall seconds for queries whose `queries` entry carries
+    * harness setup the operator shouldn't be billed for — the streaming
+    * entries stage a temp-parquet source and boot the micro-batch engine
+    * before the keyed-state operator runs. Populated (overwritten) each
+    * time such a query executes; Bench emits it as `operator_sec` next to
+    * the harness-inclusive sweep timings so operator regressions aren't
+    * masked by (or blamed on) harness noise.
+    */
+  val operatorSec = scala.collection.concurrent.TrieMap.empty[String, Double]
+
+  /** Times the streaming window only: start → processAllAvailable → stop. */
+  private def timedStream(name: String)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val t0 = System.nanoTime()
+    val q = start
+    q.processAllAvailable(); q.stop()
+    operatorSec(name) = (System.nanoTime() - t0) / 1e9
+  }
+
   // ---- documents-as-corpus: the KG pipeline over the driver's table ----
 
   /** label → mention term from the documents vocabulary (no term is a
@@ -870,10 +889,11 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_q").toString
       docs.coalesce(1).write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(docs.schema).parquet(tmp)
-      val q = graft.streaming.StreamingIngest.dedupStream(stream)
-        .writeStream.outputMode("append").format("memory")
-        .queryName("graft_sdedup_q").trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
+      timedStream("streaming_dedup") {
+        graft.streaming.StreamingIngest.dedupStream(stream)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("graft_sdedup_q").trigger(Trigger.AvailableNow()).start()
+      }
       s.sql("SELECT doc_id, hash FROM graft_sdedup_q ORDER BY doc_id")
     }),
 
@@ -885,10 +905,11 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
       batch.write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(batch.schema).parquet(tmp)
-      val q = graft.streaming.StreamingIngest.sessionCounts(stream, gap = "30 minutes")
-        .writeStream.outputMode("complete").format("memory")
-        .queryName("graft_sessions_q").trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
+      timedStream("streaming_sessions") {
+        graft.streaming.StreamingIngest.sessionCounts(stream, gap = "30 minutes")
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("graft_sessions_q").trigger(Trigger.AvailableNow()).start()
+      }
       s.sql("SELECT user_id, count(*) AS n_sessions FROM graft_sessions_q " +
         "GROUP BY 1 ORDER BY 1")
     }),
@@ -904,10 +925,11 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sneardup_q").toString
       docs.coalesce(1).write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(docs.schema).parquet(tmp)
-      val q = graft.streaming.StreamingIngest.neardupStream(stream)
-        .writeStream.outputMode("append").format("memory")
-        .queryName("graft_sneardup_q").trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
+      timedStream("streaming_neardup") {
+        graft.streaming.StreamingIngest.neardupStream(stream)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("graft_sneardup_q").trigger(Trigger.AvailableNow()).start()
+      }
       s.sql("SELECT DISTINCT a, b FROM graft_sneardup_q ORDER BY a, b")
     }),
     // the portable streaming twin: keyed-state LSH anchors over PORTABLE
@@ -921,10 +943,11 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sneardup_p_q").toString
       docs.coalesce(1).write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(docs.schema).parquet(tmp)
-      val q = graft.streaming.StreamingIngest.neardupStreamPortable(stream)
-        .writeStream.outputMode("append").format("memory")
-        .queryName("graft_sneardup_p_q").trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
+      timedStream("streaming_neardup_portable") {
+        graft.streaming.StreamingIngest.neardupStreamPortable(stream)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("graft_sneardup_p_q").trigger(Trigger.AvailableNow()).start()
+      }
       s.sql("SELECT DISTINCT a, b FROM graft_sneardup_p_q ORDER BY a, b")
     }),
     // the web-scale grid-DBSCAN path (ε-cell bucketing + contracted CC

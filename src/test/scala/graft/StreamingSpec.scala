@@ -73,6 +73,92 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted() === Set(1L, 4L))
   }
 
+  test("streaming dedup TTL: idle keys expire and re-admit; default stays exact") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ttl_out").toString
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+
+    // Trigger.Once, not AvailableNow: with ProcessingTimeTimeout the
+    // stateful exec reports shouldRunAnotherBatch=true unconditionally,
+    // so AvailableNow schedules empty timeout batches forever. One batch
+    // per phase; expired timeouts fire inside the NEXT phase's batch
+    // (state + clock persist in the shared checkpoint).
+    def runPhase(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = StreamingIngest.dedupStream(stream, stateTtl = Some("50 milliseconds"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination()
+    }
+    def emitted(): Set[Long] =
+      spark.read.parquet(out).collect().map(_.getLong(0)).toSet
+
+    // phase 1: key "aa" admitted
+    Seq((1L, "aa")).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    runPhase()
+    assert(emitted() === Set(1L))
+
+    // phase 2, after the TTL: an unrelated batch fires the timeout for
+    // the idle "aa" key (timeouts only fire for keys WITHOUT new data)
+    Thread.sleep(200)
+    Seq((9L, "bb")).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    runPhase()
+    assert(emitted() === Set(1L, 9L))
+
+    // phase 3: "aa" re-arrives after eviction -> re-admitted (the
+    // bounded-state trade; with the default NoTimeout the restart test
+    // above proves the same key is dropped forever)
+    Thread.sleep(200)
+    Seq((7L, "aa")).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    runPhase()
+    assert(emitted() === Set(1L, 9L, 7L))
+  }
+
+  test("streaming near-dup TTL: idle bucket anchors expire; next arrival re-anchors") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nttl_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nttl_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_nttl_out").toString
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    val body = "the quick brown fox jumps over the lazy dog repeatedly"
+    val chaff = "entirely different filler words avoiding every shared shingle window"
+
+    // Trigger.Once for the same reason as the dedup TTL phases above
+    def runPhase(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = StreamingIngest.neardupStream(stream, stateTtl = Some("50 milliseconds"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination()
+    }
+    def pairs(): Set[(Long, Long)] =
+      spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // phase 1: doc 5 becomes every bucket's anchor, no pair emitted
+    Seq((5L, body)).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    runPhase()
+    assert(pairs() === Set.empty[(Long, Long)])
+
+    // phase 2 after the TTL: chaff batch fires the idle buckets' timeouts
+    Thread.sleep(200)
+    Seq((2L, chaff)).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    runPhase()
+
+    // phase 3: two copies of the body arrive -> 8 re-anchors its buckets
+    // and pairs with 9 ONLY (a live anchor 5 would emit (5,8),(5,9))
+    Thread.sleep(200)
+    Seq((8L, body), (9L, body)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    runPhase()
+    assert(pairs() === Set((8L, 9L)))
+  }
+
   test("streaming dedup == batch exact dedup on a single batch") {
     import org.apache.spark.sql.streaming.Trigger
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
