@@ -91,6 +91,15 @@ object SparkEntry {
   private val tokSql =
     "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
 
+  /** DuckDB twin of Selection.logRatioMilli: interpolated milli-log2 of
+    * num/den, REQUIRING num >= den >= 1 — floor-log2 via unpadded bin
+    * length plus the linear milli fraction (bm25's idf recipe).
+    */
+  private def lrmSql(num: String, den: String): String = {
+    val bits = s"(length(bin(($num) // ($den))) - 1)"
+    s"($bits * 1000 + (1000 * ($num)) // (($den) * (1 << $bits)) - 1000)"
+  }
+
   /** Shared CTE chain of the bigram-LM oracles: md5-content train
     * slice, add-one bigram/context counts, bigram-participating train
     * vocab V (matching the engine's single-pass derivation), per-doc
@@ -1070,6 +1079,28 @@ object SparkEntry {
     // boundary (count ties broken by word) is actually exercised
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(t(s, dir, "documents"), k = 20)),
+    // fastText/GPT-3-style NB quality classifier: per-class word
+    // likelihoods fit on the md5-content train slice, label = curated
+    // source set, every doc scored by integer milli log-likelihood
+    // ratio + class prior — no transcendental reaches a value
+    "nb_quality" -> ((s, dir) =>
+      graft.ops.Selection.nbQualityScore(t(s, dir, "documents"),
+        positiveSources = Seq("src0", "src1", "src2", "src3", "src4"))
+        .orderBy("doc_id")),
+    // DSIR hashed-bigram importance weights toward a target source
+    // set — 64 buckets at fixture scale so bucket collisions (the
+    // hashing approximation being gated) actually occur
+    "dsir_weights" -> ((s, dir) =>
+      graft.ops.Selection.dsirWeights(t(s, dir, "documents"),
+        targetSources = Seq("src0", "src1", "src2"), buckets = 64L)
+        .orderBy("doc_id")),
+    // fixed-length training-sequence packing: 128-token sequences over
+    // ~60-word docs, so most sequences contain a doc boundary and many
+    // docs span two sequences — the segment-map rows a trainer masks on
+    "seq_pack" -> ((s, dir) =>
+      graft.ops.Mixing.packSequences(t(s, dir, "documents"),
+        seqTokens = 128L, bucketWidth = 64L)
+        .orderBy("seq_id", "doc_id")),
     // CCNet-style LM quality scoring: add-one bigram model on the
     // md5-content train slice, every doc scored by INTEGER quantized
     // surprisal (floor-log2 via unpadded bin() — no transcendental
@@ -1673,6 +1704,76 @@ object SparkEntry {
         |       WHEN bucket < 990 THEN 'validation'
         |       ELSE 'test' END AS split
         | FROM b ORDER BY doc_id""".stripMargin,
+    // replays the NB quality classifier: md5-content train slice,
+    // per-class add-one word likelihoods, interpolated milli-log2
+    // ratio per token + prior — identical L(num, den) arithmetic
+    "nb_quality" ->
+      s"""WITH base AS (SELECT doc_id,
+        |   CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 ELSE 0 END AS label,
+        |   CASE WHEN cast(concat('0x', substr(md5(text), 1, 8)) as bigint) % 1000 < 500
+        |        THEN 1 ELSE 0 END AS is_train,
+        |   string_split(text, ' ') AS words FROM documents),
+        | occ AS (SELECT doc_id, label, is_train, unnest(words) AS w FROM base),
+        | train AS (SELECT * FROM occ WHERE is_train = 1),
+        | wc AS (SELECT w, cast(sum(label) as bigint) AS cpos,
+        |     cast(sum(1 - label) as bigint) AS cneg FROM train GROUP BY w),
+        | tot AS (SELECT cast(sum(label) as bigint) AS tpos,
+        |     cast(sum(1 - label) as bigint) AS tneg,
+        |     cast(count(DISTINCT w) as bigint) AS v FROM train),
+        | dc AS (SELECT cast(sum(label) as bigint) AS dpos,
+        |     cast(count(*) - sum(label) as bigint) AS dneg
+        |   FROM base WHERE is_train = 1),
+        | pr AS (SELECT CASE WHEN dpos >= dneg
+        |     THEN ${lrmSql("dpos + 1", "dneg + 1")}
+        |     ELSE -${lrmSql("dneg + 1", "dpos + 1")} END AS prior FROM dc),
+        | j AS (SELECT o.doc_id, coalesce(c.cpos, 0) AS cpos,
+        |     coalesce(c.cneg, 0) AS cneg, t.tpos, t.tneg, t.v
+        |   FROM occ o LEFT JOIN wc c USING (w), tot t),
+        | sc AS (SELECT doc_id,
+        |     ${lrmSql("tneg + v", "cneg + 1")} - ${lrmSql("tpos + v", "cpos + 1")}
+        |     AS s_milli FROM j)
+        | SELECT doc_id, cast(count(*) as bigint) AS n_tokens,
+        |   cast(sum(s_milli) + (SELECT prior FROM pr) as bigint) AS nb_milli,
+        |   CASE WHEN sum(s_milli) + (SELECT prior FROM pr) >= 0 THEN 1 ELSE 0 END AS predicted
+        | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replays DSIR: hashed md5 bigram buckets, target-vs-raw add-one
+    // milli log-likelihood ratio per gram occurrence
+    "dsir_weights" ->
+      s"""WITH d AS (SELECT doc_id,
+        |   CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END AS is_target,
+        |   string_split(text, ' ') AS ws FROM documents),
+        | g0 AS (SELECT doc_id, is_target, ws,
+        |     unnest(generate_series(1, len(ws) - 1)) AS i
+        |   FROM d WHERE len(ws) >= 2),
+        | g AS (SELECT doc_id, is_target,
+        |   cast(concat('0x', substr(md5(concat(ws[i], ' ', ws[i+1])), 1, 8)) as bigint) % 64 AS b
+        |   FROM g0),
+        | prof AS (SELECT b, cast(sum(is_target) as bigint) AS ct,
+        |     cast(count(*) as bigint) AS cr FROM g GROUP BY b),
+        | tot AS (SELECT cast(sum(is_target) as bigint) AS tt,
+        |     cast(count(*) as bigint) AS tr FROM g),
+        | sc AS (SELECT doc_id,
+        |     ${lrmSql("tr + 64", "cr + 1")} - ${lrmSql("tt + 64", "ct + 1")}
+        |     AS s_milli
+        |   FROM g JOIN prof USING (b), tot)
+        | SELECT doc_id, cast(count(*) as bigint) AS n_grams,
+        |   cast(sum(s_milli) as bigint) AS dsir_milli
+        | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replays sequence packing: prefix-sum starts in doc_id order, each
+    // doc exploded over the sequence ids it spans, segment arithmetic
+    "seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, cast($tokSql as bigint) AS tokens FROM documents),
+        | tt AS (SELECT * FROM t WHERE tokens > 0),
+        | c AS (SELECT doc_id, tokens, cast(sum(tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens as bigint) AS start FROM tt),
+        | e AS (SELECT doc_id, tokens, start,
+        |   unnest(generate_series(start // 128, (start + tokens - 1) // 128)) AS seq_id
+        |   FROM c)
+        | SELECT seq_id, doc_id,
+        |   greatest(seq_id * 128 - start, 0) AS doc_from,
+        |   least((seq_id + 1) * 128 - start, tokens) - 1 AS doc_to,
+        |   greatest(start - seq_id * 128, 0) AS seq_off
+        | FROM e ORDER BY seq_id, doc_id""".stripMargin,
     "vocab_topk" ->
       """SELECT word, cast(count(*) as bigint) AS n
         | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

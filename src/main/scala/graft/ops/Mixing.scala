@@ -68,6 +68,54 @@ object Mixing {
         expr(s"(offset + cum - tokens) % $shardTokens").as("pack_offset"))
   }
 
+  /** Fixed-length training-sequence packing (concat-and-chunk): lay all
+    * documents end to end in deterministic doc_id order and cut the
+    * token stream into sequences of exactly `seqTokens` — emitting the
+    * per-sequence SEGMENT MAP a trainer materializes for attention
+    * masking: one row per (sequence, document segment) with the token
+    * range of the document it covers and where in the sequence it
+    * lands. This is the step after [[shardPack]]'s shard assignment:
+    * shardPack says which shard a doc starts in; this says exactly
+    * which tokens of which doc fill which training sequence (documents
+    * crossing a boundary appear in every sequence they span — the
+    * cross-doc attention a packed-pretraining mask must cut).
+    *
+    * Scale shape: the same two-phase distributed prefix sum as
+    * [[shardPack]] (bucketed partial totals, one tiny bucket-offset
+    * window, intra-bucket cumsum), then a PURE MAP explode bounded by
+    * each doc's span count (~tokens/seqTokens + 1). All int64. Empty
+    * documents carry no tokens and drop out.
+    *
+    * Output: (seq_id, doc_id, doc_from, doc_to, seq_off) — 0-based
+    * inclusive token positions within the doc, seq_off = where the
+    * segment starts inside the sequence.
+    */
+  def packSequences(docs: DataFrame, seqTokens: Long,
+                    bucketWidth: Long = 1000000L): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"),
+        expr(s"doc_id div $bucketWidth").as("bucket"))
+      .where(col("tokens") > 0)
+    val offsets = toks.groupBy("bucket").agg(sum("tokens").as("btoks"))
+      .withColumn("offset", coalesce(
+        sum("btoks").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    val intra = Window.partitionBy("bucket").orderBy("doc_id")
+    toks.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", sum("tokens").over(intra))
+      .withColumn("start", col("offset") + col("cum") - col("tokens"))
+      .select(col("doc_id"), col("tokens"), col("start"),
+        explode(expr(
+          s"sequence(start div $seqTokens, (start + tokens - 1) div $seqTokens)"))
+          .as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        greatest(col("seq_id") * seqTokens - col("start"), lit(0L)).as("doc_from"),
+        (least((col("seq_id") + 1) * seqTokens - col("start"), col("tokens")) - 1L)
+          .as("doc_to"),
+        greatest(col("start") - col("seq_id") * seqTokens, lit(0L)).as("seq_off"))
+  }
+
   /** Deterministic train/validation/test split, keyed on the CONTENT
     * hash (portable md5 bucket), not the row id: byte-identical
     * documents land in the same split by construction, so exact

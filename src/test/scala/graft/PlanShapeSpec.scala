@@ -53,7 +53,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // shard_pack's phase 2 is the documented two-phase prefix sum: the
     // SinglePartition exchange carries one row PER BUCKET (post
     // partial+final agg), not the corpus — the only allowed occurrence.
-    val offenders = batchNames.filterNot(_ == "shard_pack")
+    // seq_pack shares shard_pack's two-phase prefix sum — its one
+    // SinglePartition exchange also carries one row per bucket
+    val offenders = batchNames.filterNot(Set("shard_pack", "seq_pack"))
       .filter(n => plan(n).contains("SinglePartition"))
     assert(offenders.isEmpty,
       s"unexpected single-partition exchange in: ${offenders.mkString(", ")}")
