@@ -1101,6 +1101,12 @@ object SparkEntry {
       graft.ops.Mixing.packSequences(t(s, dir, "documents"),
         seqTokens = 128L, bucketWidth = 64L)
         .orderBy("seq_id", "doc_id")),
+    // deterministic global corpus shuffle: seed-keyed md5 order with
+    // the dense training position materialized by the two-phase rank
+    // (256-bucket range offsets, never a corpus-wide window)
+    "corpus_shuffle" -> ((s, dir) =>
+      graft.ops.Mixing.shuffleOrder(t(s, dir, "documents"), seed = 7L)
+        .orderBy("doc_id")),
     // CCNet-style LM quality scoring: add-one bigram model on the
     // md5-content train slice, every doc scored by INTEGER quantized
     // surprisal (floor-log2 via unpadded bin() — no transcendental
@@ -1759,6 +1765,16 @@ object SparkEntry {
         | SELECT doc_id, cast(count(*) as bigint) AS n_grams,
         |   cast(sum(s_milli) as bigint) AS dsir_milli
         | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replays the deterministic shuffle as ONE global row_number over
+    // the seed-keyed md5 order — equal to the engine's two-phase rank
+    // because the first-hex-byte bucket order is a prefix of key order
+    "corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |   md5(concat('7', '_', cast(doc_id as varchar))) AS shuffle_key
+        |  FROM documents)
+        | SELECT doc_id, shuffle_key,
+        |   cast(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 as bigint) AS pos
+        | FROM k ORDER BY doc_id""".stripMargin,
     // replays sequence packing: prefix-sum starts in doc_id order, each
     // doc exploded over the sequence ids it spans, segment arithmetic
     "seq_pack" ->

@@ -116,6 +116,42 @@ object Mixing {
         greatest(col("start") - col("seq_id") * seqTokens, lit(0L)).as("seq_off"))
   }
 
+  /** Deterministic global corpus shuffle: assign every document a
+    * pseudorandom but REPRODUCIBLE training position — the final
+    * "shuffle the corpus" step an LLM data pipeline runs so batch
+    * composition is decorrelated from crawl/source order, made
+    * deterministic (seed-keyed md5) so a rerun, a resume, or another
+    * engine lays out the identical training order.
+    *
+    * The global rank is materialized with the same two-phase pattern as
+    * [[shardPack]], never a single-partition window over the corpus:
+    * the first md5 hex byte buckets rows into 256 ranges whose STRING
+    * order equals their numeric order (hex digits are ascii-ordered, so
+    * ordering by (bucket, key) == ordering by key), per-bucket counts
+    * roll up map-side, a window over the 256-row bucket table yields
+    * range offsets, and row_number runs partitioned by bucket. At any
+    * scale the unpartitioned work is 256 rows.
+    *
+    * Output: (doc_id, shuffle_key, pos) — pos is the dense 0-based
+    * training position under seed.
+    */
+  def shuffleOrder(docs: DataFrame, seed: Long = 0L): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(concat(lit(seed.toString), lit("_"), col("doc_id").cast("string")))
+        .as("shuffle_key"))
+      .withColumn("bucket",
+        conv(substring(col("shuffle_key"), 1, 2), 16, 10).cast("long"))
+    val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(
+        sum("n").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    val intra = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    keyed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("pos", col("offset") + row_number().over(intra) - 1L)
+      .select(col("doc_id"), col("shuffle_key"), col("pos"))
+  }
+
   /** Deterministic train/validation/test split, keyed on the CONTENT
     * hash (portable md5 bucket), not the row id: byte-identical
     * documents land in the same split by construction, so exact

@@ -79,4 +79,22 @@ class MixingSpec extends AnyFunSuite {
     assert(out(0) === Row(1L, 2L, 750000L))
     assert(out(1) === Row(2L, 2L, 750000L))
   }
+
+  test("shuffleOrder: two-phase rank == global md5 order, dense, seed-sensitive") {
+    val docs = (0L until 300L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val got = Mixing.shuffleOrder(docs, seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // dense 0..n-1 positions, one per doc
+    assert(got.map(_._3).sorted.toSeq === (0L until 300L).toSeq)
+    // two-phase rank equals the single global row_number truth
+    val truth = got.sortBy(g => (g._2, g._1)).zipWithIndex
+      .map { case ((d, _, _), i) => d -> i.toLong }.toMap
+    got.foreach { case (d, _, p) => assert(p === truth(d)) }
+    // a different seed produces a different order (not a shifted copy)
+    val other = Mixing.shuffleOrder(docs, seed = 8L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.exists { case (d, _, p) => other(d) != p })
+    // decorrelated from doc_id order: not the identity permutation
+    assert(got.exists { case (d, _, p) => d != p })
+  }
 }

@@ -53,9 +53,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // shard_pack's phase 2 is the documented two-phase prefix sum: the
     // SinglePartition exchange carries one row PER BUCKET (post
     // partial+final agg), not the corpus — the only allowed occurrence.
-    // seq_pack shares shard_pack's two-phase prefix sum — its one
-    // SinglePartition exchange also carries one row per bucket
-    val offenders = batchNames.filterNot(Set("shard_pack", "seq_pack"))
+    // seq_pack and corpus_shuffle share shard_pack's two-phase prefix
+    // sum / rank — their one SinglePartition exchange also carries one
+    // row per bucket (256 rows for the shuffle), never the corpus
+    val offenders = batchNames.filterNot(Set("shard_pack", "seq_pack", "corpus_shuffle"))
       .filter(n => plan(n).contains("SinglePartition"))
     assert(offenders.isEmpty,
       s"unexpected single-partition exchange in: ${offenders.mkString(", ")}")
