@@ -1107,6 +1107,66 @@ object SparkEntry {
     "corpus_shuffle" -> ((s, dir) =>
       graft.ops.Mixing.shuffleOrder(t(s, dir, "documents"), seed = 7L)
         .orderBy("doc_id")),
+    // HyperLogLog distinct-content sketch: the 64-row register table
+    // (the mergeable state itself — shards combine by elementwise max)
+    "hll_registers" -> ((s, dir) =>
+      graft.ops.Sketches.hllRegisters(t(s, dir, "documents"), col("text"))
+        .orderBy("register")),
+    // ... and the raw integer estimator over it: one row, approximate
+    // count(distinct text) without shuffling the corpus (the fixture's
+    // ~366 distinct contents sit in the raw-estimator regime n > 2.5m)
+    "hll_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.hllDistinct(t(s, dir, "documents"), col("text"))),
+    // Count-Min frequency sketch: every word estimated from the 4×512
+    // counter grid; est ≥ true by construction, the gap = collision
+    // mass (the fixture vocab is small but the grid is salted-md5, so
+    // specific collisions are deterministic and the oracle replays them)
+    "cms_estimate" -> ((s, dir) =>
+      graft.ops.Sketches.cmsEstimate(t(s, dir, "documents"))
+        .orderBy("word")),
+    // fixed-point PageRank over the exact kNN similarity graph (k=5
+    // within label groups, same edges as knn_graph): 5 integer
+    // iterations, damping 85/100 — graph centrality as a curation
+    // signal, every iteration replayed by the oracle
+    "pagerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = SimilaritySearch.neighborGraph(emb, k = 5, exact = true)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+      val nodes = emb.select(col("vec_id").cast("long").as("id"))
+      graft.ops.GraphRank.pageRank(nodes, edges)
+        .select(col("id").as("vec_id"), col("rank_fp"))
+        .orderBy("vec_id")
+    }),
+    // per-vertex triangle counts on the symmetrized kNN graph — the
+    // a<b<c oriented two-join enumeration, each triangle exactly once
+    "knn_triangles" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = SimilaritySearch.neighborGraph(emb, k = 5, exact = true)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+      val nodes = emb.select(col("vec_id").cast("long").as("id"))
+      graft.ops.GraphRank.triangleCounts(nodes, edges)
+        .select(col("id").as("vec_id"), col("n_triangles"))
+        .orderBy("vec_id")
+    }),
+    // Bloom-filter decontamination: same benchmark slice + 8-grams as
+    // `decontaminate`, membership via the 8192-bit/4-salt filter —
+    // bloom_hits ≥ n_contaminated always (no false negatives)
+    "bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.bloomContamination(
+        docs, docs.where(col("doc_id") % 97 === 0), n = 8)
+        .orderBy("doc_id")
+    }),
+    // bottom-k content sample: deterministic mergeable uniform sample,
+    // k smallest (md5-32bit, doc_id) — map-side top-k, no shuffle
+    "bottomk_sample" -> ((s, dir) =>
+      graft.ops.Sketches.bottomK(t(s, dir, "documents"), col("text"), k = 100)),
+    // ... and the KMV distinct estimator off the k-th smallest
+    // DISTINCT hash: est = (k−1)·2^32 div h_k, one row, all int64
+    "bottomk_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.bottomKDistinct(t(s, dir, "documents"), col("text"), k = 64)),
     // CCNet-style LM quality scoring: add-one bigram model on the
     // md5-content train slice, every doc scored by INTEGER quantized
     // surprisal (floor-log2 via unpadded bin() — no transcendental
@@ -1159,6 +1219,63 @@ object SparkEntry {
         .orderBy("id", "dim")
     })
   )
+
+  /** Shared CTE chain of the HLL oracles: register = first md5 hex byte
+    * mod 64, rho = 1 + leading zero bits of the 120-bit suffix read off
+    * hex digits (ASCII order: c >= '8' ⇔ top bit set) — ends at `regs`
+    * (register, max_rho), the mergeable sketch state.
+    */
+  private val hllCtes =
+    """WITH h AS (SELECT md5(text) AS h FROM documents),
+      | rr AS (SELECT cast(concat('0x', substr(h, 1, 2)) as bigint) % 64 AS register,
+      |     ltrim(substr(h, 3, 30), '0') AS t FROM h),
+      | rho AS (SELECT register, CASE WHEN length(t) = 0 THEN 121
+      |     ELSE 4 * (30 - length(t)) +
+      |       (CASE WHEN substr(t, 1, 1) >= '8' THEN 0
+      |             WHEN substr(t, 1, 1) >= '4' THEN 1
+      |             WHEN substr(t, 1, 1) >= '2' THEN 2 ELSE 3 END) + 1 END AS rho
+      |   FROM rr),
+      | regs AS (SELECT register, cast(max(rho) as bigint) AS max_rho
+      |   FROM rho GROUP BY register)""".stripMargin
+
+  /** pagerank oracle: the knn_graph edge CTE (the same exact
+    * kNN-within-label the engine runs), then every fixed-point
+    * iteration unrolled as chained CTEs with identical integer op
+    * order — truncating `//` at the same three points (init, per-edge
+    * contribution, damped sum) as the engine's `div`s.
+    */
+  /** Shared CTE chain of the kNN-graph oracles (pagerank,
+    * knn_triangles): the same exact kNN-within-label edge set
+    * knn_graph gates — ends at `ed` (src, dst) and `nodes` (id).
+    */
+  private val knnEdgeCtes =
+    """WITH e AS (SELECT vec_id, label, cast(embedding as double[]) AS v FROM embeddings),
+      | p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |     row_number() OVER (PARTITION BY a.vec_id
+      |       ORDER BY list_distance(a.v, b.v), cast(b.vec_id as varchar)) AS rn
+      |   FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      | ed AS (SELECT cast(src as bigint) AS src, cast(dst as bigint) AS dst FROM p WHERE rn <= 5),
+      | nodes AS (SELECT cast(vec_id as bigint) AS id FROM embeddings)""".stripMargin
+
+  private val pagerankOracleSql: String = {
+    val S = 1000000000000L
+    val head =
+      s"""$knnEdgeCtes,
+        | deg AS (SELECT src, cast(count(*) as bigint) AS deg FROM ed GROUP BY src),
+        | nn AS (SELECT cast(count(*) as bigint) AS n FROM nodes),
+        | r0 AS (SELECT id, $S // n AS r FROM nodes CROSS JOIN nn)""".stripMargin
+    val its = (0 until 5).map { k =>
+      s""",
+        | m$k AS (SELECT ed.dst AS id, cast(sum(rk.r // deg.deg) as bigint) AS s
+        |   FROM ed JOIN deg USING (src) JOIN r$k rk ON ed.src = rk.id
+        |   GROUP BY ed.dst),
+        | r${k + 1} AS (SELECT nodes.id,
+        |     (15 * ($S // nn.n)) // 100 + (85 * coalesce(mk.s, 0)) // 100 AS r
+        |   FROM nodes CROSS JOIN nn LEFT JOIN m$k mk ON nodes.id = mk.id)""".stripMargin
+    }.mkString
+    head + its +
+      "\n SELECT id AS vec_id, cast(r as bigint) AS rank_fp FROM r5 ORDER BY vec_id"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -1775,6 +1892,84 @@ object SparkEntry {
         | SELECT doc_id, shuffle_key,
         |   cast(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 as bigint) AS pos
         | FROM k ORDER BY doc_id""".stripMargin,
+    // replays the HLL register build digit for digit
+    "hll_registers" ->
+      s"""$hllCtes
+        | SELECT register, max_rho FROM regs ORDER BY register""".stripMargin,
+    // ... and the raw integer estimator: denom = Σ 2^(30 − min(ρ,30))
+    // with absent registers contributing 2^30, one truncating divide
+    "hll_distinct" ->
+      s"""$hllCtes,
+        | agg AS (SELECT cast(count(*) as bigint) AS observed_regs,
+        |     cast(sum(1::BIGINT << cast(30 - least(max_rho, 30) as int)) as bigint) AS dsum
+        |   FROM regs),
+        | d AS (SELECT observed_regs,
+        |     dsum + (64 - observed_regs) * 1073741824 AS denom FROM agg)
+        | SELECT observed_regs, denom,
+        |   ${graft.ops.Sketches.HllEstNumer} // (1000 * denom) AS est_distinct
+        | FROM d""".stripMargin,
+    // replays the Count-Min grid (salt 'cms<depth>_', 4×512) and the
+    // min-over-depths point estimate from the same word-count table
+    "cms_estimate" ->
+      """WITH wc AS (SELECT word, cast(count(*) as bigint) AS true_n
+        |   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |   GROUP BY word),
+        | wb AS (SELECT word, true_n, d.d AS depth,
+        |     cast(concat('0x', substr(md5(concat('cms', d.d, '_', word)), 1, 8)) as bigint) % 512 AS bucket
+        |   FROM wc CROSS JOIN generate_series(0, 3) d(d)),
+        | ctr AS (SELECT depth, bucket, cast(sum(true_n) as bigint) AS cnt
+        |   FROM wb GROUP BY depth, bucket)
+        | SELECT w.word, w.true_n, cast(min(c.cnt) as bigint) AS est_n
+        | FROM wb w JOIN ctr c USING (depth, bucket)
+        | GROUP BY w.word, w.true_n ORDER BY w.word""".stripMargin,
+    "pagerank" -> pagerankOracleSql,
+    // replays the oriented triangle enumeration over the proven kNN
+    // edge set: symmetrize a<b, wedge join, closing join, per-vertex
+    // fan-out with zero-filled non-participants
+    "knn_triangles" ->
+      s"""$knnEdgeCtes,
+        | und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |   FROM ed WHERE src <> dst),
+        | tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |   FROM und e1 JOIN und e2 ON e1.b = e2.a
+        |   JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        | pv AS (SELECT unnest([a, b, c]) AS id FROM tri),
+        | cnt AS (SELECT id, cast(count(*) as bigint) AS n_triangles
+        |   FROM pv GROUP BY id)
+        | SELECT nodes.id AS vec_id, coalesce(cnt.n_triangles, 0) AS n_triangles
+        | FROM nodes LEFT JOIN cnt ON nodes.id = cnt.id ORDER BY vec_id""".stripMargin,
+    // replays the Bloom build (salt 'bloom<i>_', 8192 bits) and the
+    // all-4-bits membership fold over the decontaminate gram CTEs
+    "bloom_decontaminate" ->
+      """WITH g AS (SELECT doc_id, list_distinct(list_transform(
+        |     generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+        |     i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS grams
+        |   FROM documents),
+        | bg AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 97 = 0),
+        | bits AS (SELECT DISTINCT
+        |     cast(concat('0x', substr(md5(concat('bloom', d.d, '_', g)), 1, 8)) as bigint) % 8192 AS bit
+        |   FROM bg CROSS JOIN generate_series(0, 3) d(d)),
+        | ex AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g FROM g),
+        | pb AS (SELECT doc_id, n_grams, g,
+        |     cast(concat('0x', substr(md5(concat('bloom', d.d, '_', g)), 1, 8)) as bigint) % 8192 AS bit
+        |   FROM ex CROSS JOIN generate_series(0, 3) d(d)),
+        | pg AS (SELECT pb.doc_id, pb.n_grams, pb.g,
+        |     CASE WHEN sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 4
+        |          THEN 1 ELSE 0 END AS m
+        |   FROM pb LEFT JOIN bits b ON pb.bit = b.bit
+        |   GROUP BY pb.doc_id, pb.n_grams, pb.g)
+        | SELECT doc_id, cast(n_grams as int) AS n_grams,
+        |   cast(sum(m) as bigint) AS bloom_hits
+        | FROM pg GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin,
+    "bottomk_sample" ->
+      """SELECT cast(concat('0x', substr(md5(text), 1, 8)) as bigint) AS h, doc_id
+        | FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin,
+    "bottomk_distinct" ->
+      """WITH h AS (SELECT DISTINCT cast(concat('0x', substr(md5(text), 1, 8)) as bigint) AS h
+        |   FROM documents),
+        | k AS (SELECT h FROM h ORDER BY h LIMIT 64)
+        | SELECT max(h) AS kth_hash, (63 * 4294967296) // max(h) AS est_distinct
+        | FROM k""".stripMargin,
     // replays sequence packing: prefix-sum starts in doc_id order, each
     // doc exploded over the sequence ids it spans, segment arithmetic
     "seq_pack" ->

@@ -38,4 +38,43 @@ object Decontaminate {
       contamination(docs, benchmark, n)
         .where(col("ratio") >= threshold).select("doc_id"),
       Seq("doc_id"), "left_anti")
+
+  /** Like [[contamination]], but the benchmark gram set is a Bloom
+    * filter (`Sketches.bloomBits`, 8192 bits / 4 salted positions)
+    * instead of the exact gram table: `bloom_hits ≥ n_contaminated`
+    * always (no false negatives — a contaminated doc can never slip
+    * through), overcounting only by the filter's false-positive rate.
+    * The point at 100 TB: the broadcast is 8 KiB of bits regardless of
+    * how many eval suites are unioned in, and membership is a k-row
+    * explode against it — the probe never re-ships the gram strings.
+    */
+  /** Distinct word-n-grams as STRINGS (unlike [[Dedup.gramSets]]'s
+    * engine-internal murmur3 ints): the Bloom positions md5 the gram
+    * text itself, so the filter — and the oracle replay — is
+    * engine-portable.
+    */
+  private def gramStrings(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"),
+        array_distinct(expr(
+          s"transform(sequence(0, greatest(size(words) - $n, 0)), " +
+            s"i -> array_join(slice(words, i + 1, $n), ' '))")).as("grams"))
+
+  def bloomContamination(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val bits = broadcast(Sketches.bloomBits(
+        gramStrings(benchmark, n).select(explode(col("grams")).as("g")).distinct(),
+        col("g"))
+      .withColumn("hit", lit(1)))
+    val posed = gramStrings(docs, n)
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("g"))
+      .select(col("doc_id"), col("n_grams"), col("g"),
+        explode(array((0 until Sketches.BloomK).map(i =>
+          Sketches.bloomPos(col("g"), i)): _*)).as("bit"))
+    posed.join(bits, Seq("bit"), "left")
+      .groupBy("doc_id", "n_grams", "g")
+      .agg((sum(coalesce(col("hit"), lit(0))) === Sketches.BloomK)
+        .cast("int").as("m"))
+      .groupBy("doc_id", "n_grams").agg(sum("m").as("bloom_hits"))
+  }
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank over an edge list — graph centrality as a
+  * source/document ranking signal (the host-rank filter a CommonCrawl
+  * curation pipeline applies, here runnable over any graft edge set:
+  * the kNN similarity graph, DEPICTS co-mention edges, …).
+  *
+  * Determinism contract: all arithmetic is int64 — ranks live in
+  * `scale` fixed-point units, every division is a truncating integer
+  * div, and the per-vertex message reduce is an order-free integer sum,
+  * so the result is bit-identical across partitionings, reruns, and
+  * engines (the DuckDB oracle replays all iterations as chained CTEs).
+  * Damping 0.85 is the integer pair (85, 100); dangling mass (vertices
+  * with no out-edges) is dropped, the standard simplification, applied
+  * identically on both engines.
+  *
+  * Scale shape (the DataFrame Pregel idiom, same as
+  * `canon/ConnectedComponents`): per iteration one equi-join of the
+  * rank table against the degree-annotated edge list (shuffle keyed on
+  * vertex id, AQE-skew-splittable) and one partial-agg sum keyed on the
+  * destination — work is O(|E|) per iteration with no corpus-sized
+  * state on any single task. `localCheckpoint(true)` truncates the
+  * plan each iteration so the analyzer never walks an unrolled
+  * 5-iteration lineage (the wide-plan cost CLAUDE.md documents).
+  */
+object GraphRank {
+
+  /** @param nodes one column `id` (long) — every vertex, including
+    *              sinks that only receive rank
+    * @param edges columns `src`, `dst` (long) — directed, parallel
+    *              edges count twice
+    * @return (id, rank_fp): rank in `scale` fixed-point units; the
+    *         column sums to ~scale (minus truncation dust)
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
+               scale: Long = 1000000000000L): DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty vertex set")
+    val init = scale / n
+    val base = 15L * init / 100L
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // the degree-annotated edge list is reused every iteration
+    val ed = edges.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
+    val ids = nodes.select(col("id")).localCheckpoint(true)
+    var rank = ids.select(col("id"), lit(init).as("r"))
+    for (_ <- 0 until iters) {
+      val msgs = ed.join(rank, ed("src") === rank("id"))
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      rank = ids.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85L * coalesce(s, 0L)) div 100L")).as("r"))
+        .localCheckpoint(true)
+    }
+    rank.select(col("id"), col("r").as("rank_fp"))
+  }
+
+  /** Per-vertex triangle counts on the symmetrized edge set — the
+    * local-clustering signal (a vertex in many triangles sits in a
+    * tight near-dup/topic cluster; a high-centrality vertex in none is
+    * a hub worth inspecting).
+    *
+    * The standard distributed enumeration: orient every undirected edge
+    * a < b, build wedges with one equi-join (e1.b = e2.a keeps a<b<c
+    * ordered, so each triangle is enumerated exactly once), close them
+    * with a second equi-join. On a kNN graph degree ≤ 2k, so work is
+    * O(N·k²) — never the m^1.5 worst case a power-law graph would
+    * need skew handling for (AQE skew-split applies if fed one).
+    */
+  def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val wedge = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val tri = wedge.join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val per = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    nodes.join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.GraphRank
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixed-point PageRank: known-graph values, rank-mass conservation,
+  * and exact partition invariance (the integer determinism contract).
+  */
+class GraphRankSpec extends AnyFunSuite {
+  lazy implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  private def ranks(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                    iters: Int = 5): Map[Long, Long] =
+    GraphRank.pageRank(nodes.toDF("id"), edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("cycle: symmetric graph keeps the uniform fixed point") {
+    val r = ranks(Seq(0L, 1L, 2L, 3L), Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+    assert(r.values.toSet.size === 1, s"cycle ranks diverged: $r")
+    val v = r(0L)
+    // uniform fixed point = scale/4, minus a few integer-div dust units
+    assert(math.abs(v - Scale / 4) <= 100L, s"cycle rank $v")
+  }
+
+  test("star: the vertex every edge points at outranks the leaves") {
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L))
+    val r = ranks(Seq(1L, 2L, 3L, 4L, 5L), edges)
+    assert(r(1L) > r(2L) && r(1L) > r(3L), s"center should dominate: $r")
+    // 3,4,5 are structurally identical → identical integer ranks
+    assert(r(3L) === r(4L) && r(4L) === r(5L))
+    // leaf 2 receives the center's whole contribution → above 3..5
+    assert(r(2L) > r(3L))
+  }
+
+  test("rank mass is conserved up to truncation dust (no dangling vertices)") {
+    val nodes = (0L until 50L).toSeq
+    val edges = nodes.flatMap(i => Seq((i, (i + 1) % 50), (i, (i * 7 + 3) % 50)))
+    val r = ranks(nodes, edges)
+    val total = r.values.sum
+    assert(total <= Scale, s"total $total exceeds scale")
+    assert(total >= (Scale * 95L) / 100L, s"total $total lost too much mass")
+  }
+
+  test("triangles: K4 vertices sit in 3 each, a pendant vertex in 0") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // K4 over 1..4 plus a pendant 4–5; one duplicate reversed edge to
+    // prove the symmetrize-dedup (2,1) == (1,2)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (2L, 1L)).toDF("src", "dst")
+    val r = GraphRank.triangleCounts(nodes, edges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(r(_) == 3L), s"K4 counts off: $r")
+    assert(r(5L) === 0L)
+  }
+
+  test("ranks are bit-identical across partitionings") {
+    val nodes = (0L until 40L).toSeq
+    val edges = nodes.flatMap(i => Seq((i, (i + 1) % 40), (i, (i * 11 + 5) % 40)))
+    val a = GraphRank.pageRank(nodes.toDF("id"), edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphRank.pageRank(nodes.toDF("id").repartition(9),
+        edges.toDF("src", "dst").repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+}

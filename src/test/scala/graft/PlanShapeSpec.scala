@@ -55,8 +55,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // partial+final agg), not the corpus — the only allowed occurrence.
     // seq_pack and corpus_shuffle share shard_pack's two-phase prefix
     // sum / rank — their one SinglePartition exchange also carries one
-    // row per bucket (256 rows for the shuffle), never the corpus
-    val offenders = batchNames.filterNot(Set("shard_pack", "seq_pack", "corpus_shuffle"))
+    // row per bucket (256 rows for the shuffle), never the corpus.
+    // hll_distinct's final fold is a global agg over the ≤64-row
+    // register table and bottomk_distinct's over exactly k=64
+    // TakeOrdered rows: their SinglePartition exchange carries one
+    // partial-agg row per partition, never the corpus
+    val offenders = batchNames.filterNot(
+      Set("shard_pack", "seq_pack", "corpus_shuffle", "hll_distinct",
+        "bottomk_distinct"))
       .filter(n => plan(n).contains("SinglePartition"))
     assert(offenders.isEmpty,
       s"unexpected single-partition exchange in: ${offenders.mkString(", ")}")
