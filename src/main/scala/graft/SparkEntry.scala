@@ -1238,12 +1238,6 @@ object SparkEntry {
       | regs AS (SELECT register, cast(max(rho) as bigint) AS max_rho
       |   FROM rho GROUP BY register)""".stripMargin
 
-  /** pagerank oracle: the knn_graph edge CTE (the same exact
-    * kNN-within-label the engine runs), then every fixed-point
-    * iteration unrolled as chained CTEs with identical integer op
-    * order — truncating `//` at the same three points (init, per-edge
-    * contribution, damped sum) as the engine's `div`s.
-    */
   /** Shared CTE chain of the kNN-graph oracles (pagerank,
     * knn_triangles): the same exact kNN-within-label edge set
     * knn_graph gates — ends at `ed` (src, dst) and `nodes` (id).
@@ -1257,6 +1251,11 @@ object SparkEntry {
       | ed AS (SELECT cast(src as bigint) AS src, cast(dst as bigint) AS dst FROM p WHERE rn <= 5),
       | nodes AS (SELECT cast(vec_id as bigint) AS id FROM embeddings)""".stripMargin
 
+  /** pagerank oracle: the shared kNN edge CTE, then every fixed-point
+    * iteration unrolled as chained CTEs with identical integer op
+    * order — truncating `//` at the same three points (init, per-edge
+    * contribution, damped sum) as the engine's `div`s.
+    */
   private val pagerankOracleSql: String = {
     val S = 1000000000000L
     val head =

@@ -39,15 +39,6 @@ object Decontaminate {
         .where(col("ratio") >= threshold).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
-  /** Like [[contamination]], but the benchmark gram set is a Bloom
-    * filter (`Sketches.bloomBits`, 8192 bits / 4 salted positions)
-    * instead of the exact gram table: `bloom_hits ≥ n_contaminated`
-    * always (no false negatives — a contaminated doc can never slip
-    * through), overcounting only by the filter's false-positive rate.
-    * The point at 100 TB: the broadcast is 8 KiB of bits regardless of
-    * how many eval suites are unioned in, and membership is a k-row
-    * explode against it — the probe never re-ships the gram strings.
-    */
   /** Distinct word-n-grams as STRINGS (unlike [[Dedup.gramSets]]'s
     * engine-internal murmur3 ints): the Bloom positions md5 the gram
     * text itself, so the filter — and the oracle replay — is
@@ -60,6 +51,15 @@ object Decontaminate {
           s"transform(sequence(0, greatest(size(words) - $n, 0)), " +
             s"i -> array_join(slice(words, i + 1, $n), ' '))")).as("grams"))
 
+  /** Like [[contamination]], but the benchmark gram set is a Bloom
+    * filter (`Sketches.bloomBits`, 8192 bits / 4 salted positions)
+    * instead of the exact gram table: `bloom_hits ≥ n_contaminated`
+    * always (no false negatives — a contaminated doc can never slip
+    * through), overcounting only by the filter's false-positive rate.
+    * The point at 100 TB: the broadcast is 8 KiB of bits regardless of
+    * how many eval suites are unioned in, and membership is a k-row
+    * explode against it — the probe never re-ships the gram strings.
+    */
   def bloomContamination(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
     val bits = broadcast(Sketches.bloomBits(
         gramStrings(benchmark, n).select(explode(col("grams")).as("g")).distinct(),
