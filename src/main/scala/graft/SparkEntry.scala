@@ -1167,6 +1167,32 @@ object SparkEntry {
     // DISTINCT hash: est = (k−1)·2^32 div h_k, one row, all int64
     "bottomk_distinct" -> ((s, dir) =>
       graft.ops.Sketches.bottomKDistinct(t(s, dir, "documents"), col("text"), k = 64)),
+    // exact set-similarity join via prefix filtering (PPJoin family):
+    // ALL pairs with word-set Jaccard ≥ 0.8 in integer milli output;
+    // the oracle is the brute-force all-pairs ground truth, so the
+    // gate proves the prefix filter loses nothing. Bounded to the
+    // deterministic doc_id < 1000 slice (= the whole sf0.01 gate
+    // fixture): the synthetic 31-word vocabulary is the prefix
+    // filter's adversarial worst case — every token is common, so
+    // candidates degrade toward all-pairs regardless of algorithm
+    // (SetJoinSpec proves real pruning on a realistic-vocab corpus)
+    "ppjoin_pairs" -> ((s, dir) =>
+      graft.ops.SetJoin.ppJoin(
+        t(s, dir, "documents").where(col("doc_id") < 1000), tauMilli = 800L)
+        .orderBy("a", "b")),
+    // deterministic synchronous label propagation over the kNN graph:
+    // 4 rounds, most-frequent neighbor label, smallest-label ties —
+    // every round replayed by the oracle
+    "label_prop" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = SimilaritySearch.neighborGraph(emb, k = 5, exact = true)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+      val nodes = emb.select(col("vec_id").cast("long").as("id"))
+      graft.ops.GraphRank.labelPropagation(nodes, edges)
+        .select(col("id").as("vec_id"), col("label").as("community"))
+        .orderBy("vec_id")
+    }),
     // CCNet-style LM quality scoring: add-one bigram model on the
     // md5-content train slice, every doc scored by INTEGER quantized
     // surprisal (floor-log2 via unpadded bin() — no transcendental
@@ -1274,6 +1300,32 @@ object SparkEntry {
     }.mkString
     head + its +
       "\n SELECT id AS vec_id, cast(r as bigint) AS rank_fp FROM r5 ORDER BY vec_id"
+  }
+
+  /** label_prop oracle: the shared kNN edge CTE symmetrized, then all
+    * 4 synchronous rounds unrolled — the same (count desc, label asc)
+    * argmax via row_number the engine's window uses.
+    */
+  private val labelPropOracleSql: String = {
+    val head =
+      s"""$knnEdgeCtes,
+        | und AS (SELECT DISTINCT src, dst FROM (
+        |     SELECT src, dst FROM ed
+        |     UNION ALL SELECT dst AS src, src AS dst FROM ed) u
+        |   WHERE src <> dst),
+        | l0 AS (SELECT id, id AS label FROM nodes)""".stripMargin
+    val its = (0 until 4).map { k =>
+      s""",
+        | c$k AS (SELECT und.dst AS id, lk.label, count(*) AS c
+        |   FROM und JOIN l$k lk ON und.src = lk.id GROUP BY und.dst, lk.label),
+        | w$k AS (SELECT id, label,
+        |     row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn FROM c$k),
+        | l${k + 1} AS (SELECT nodes.id, coalesce(wk.label, nodes.id) AS label
+        |   FROM nodes LEFT JOIN (SELECT id, label FROM w$k WHERE rn = 1) wk
+        |   ON nodes.id = wk.id)""".stripMargin
+    }.mkString
+    head + its +
+      "\n SELECT id AS vec_id, cast(label as bigint) AS community FROM l4 ORDER BY vec_id"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1969,6 +2021,22 @@ object SparkEntry {
         | k AS (SELECT h FROM h ORDER BY h LIMIT 64)
         | SELECT max(h) AS kth_hash, (63 * 4294967296) // max(h) AS est_distinct
         | FROM k""".stripMargin,
+    // brute-force all-pairs ground truth for the prefix-filtered
+    // set-similarity join — a STRONGER check than replaying the filter:
+    // it proves the prefix machinery loses no qualifying pair
+    "ppjoin_pairs" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |   FROM documents WHERE doc_id < 1000),
+        | s AS (SELECT doc_id, cast(len(ws) as bigint) AS n, ws FROM t),
+        | p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |     cast(len(list_intersect(a.ws, b.ws)) as bigint) AS inter_n,
+        |     a.n AS a_n, b.n AS b_n
+        |   FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        | SELECT a, b, inter_n, a_n, b_n,
+        |   (1000 * inter_n) // (a_n + b_n - inter_n) AS jaccard_milli
+        | FROM p WHERE (1000 * inter_n) // (a_n + b_n - inter_n) >= 800
+        | ORDER BY a, b""".stripMargin,
+    "label_prop" -> labelPropOracleSql,
     // replays sequence packing: prefix-sum starts in doc_id order, each
     // doc exploded over the sequence ids it spans, segment arithmetic
     "seq_pack" ->

@@ -61,20 +61,28 @@ object Decontaminate {
     * explode against it — the probe never re-ships the gram strings.
     */
   def bloomContamination(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
-    val bits = broadcast(Sketches.bloomBits(
+    // the filter itself: ≤ 8192 set bits, folded to an 8 KiB '0'/'1'
+    // literal the probe tests by pure substring arithmetic — the probe
+    // side is ONE map pass + one per-doc partial agg, no join and no
+    // per-gram shuffle at any corpus scale (a bounded driver collect,
+    // same class as the centroid/vocab fits)
+    val setBits = Sketches.bloomBits(
         gramStrings(benchmark, n).select(explode(col("grams")).as("g")).distinct(),
         col("g"))
-      .withColumn("hit", lit(1)))
-    val posed = gramStrings(docs, n)
+      .collect().map(_.getLong(0).toInt)
+    val bitStr = {
+      val arr = Array.fill(Sketches.BloomM.toInt)('0')
+      setBits.foreach(arr(_) = '1')
+      new String(arr)
+    }
+    val tests = (0 until Sketches.BloomK).map(i =>
+      s"substring('$bitStr', cast(p$i as int) + 1, 1) = '1'").mkString(" AND ")
+    var g = gramStrings(docs, n)
       .select(col("doc_id"), size(col("grams")).as("n_grams"),
         explode(col("grams")).as("g"))
-      .select(col("doc_id"), col("n_grams"), col("g"),
-        explode(array((0 until Sketches.BloomK).map(i =>
-          Sketches.bloomPos(col("g"), i)): _*)).as("bit"))
-    posed.join(bits, Seq("bit"), "left")
-      .groupBy("doc_id", "n_grams", "g")
-      .agg((sum(coalesce(col("hit"), lit(0))) === Sketches.BloomK)
-        .cast("int").as("m"))
+    for (i <- 0 until Sketches.BloomK)
+      g = g.withColumn(s"p$i", Sketches.bloomPos(col("g"), i))
+    g.withColumn("m", expr(s"CASE WHEN $tests THEN 1 ELSE 0 END"))
       .groupBy("doc_id", "n_grams").agg(sum("m").as("bloom_hits"))
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Fixed-point PageRank over an edge list — graph centrality as a
   * source/document ranking signal (the host-rank filter a CommonCrawl
@@ -84,5 +85,43 @@ object GraphRank {
     nodes.join(per, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Synchronous label propagation — community detection (topic /
+    * near-dup neighborhoods) over the symmetrized edge set, made fully
+    * deterministic: every vertex starts labeled with its own id, each
+    * of the `iters` rounds every vertex adopts the MOST FREQUENT label
+    * among its neighbors with ties broken by the SMALLEST label (the
+    * classic LPA randomization replaced by a total order, so reruns,
+    * partitionings and engines agree bit for bit — the oracle unrolls
+    * every round). Unlike connected components (pure reachability),
+    * the frequency argmax pulls dense subgraphs together while
+    * resisting single bridge edges. Vertices with no neighbors keep
+    * their own label.
+    *
+    * Scale shape per round: one edge⋈label equi-join, one
+    * (vertex, label) partial-agg count, one vertex-keyed window argmax
+    * — all corpus-keyed shuffles, no global ordering anywhere;
+    * localCheckpoint truncates the plan per round.
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+                       iters: Int = 4): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val ids = nodes.select(col("id")).localCheckpoint(true)
+    var lab = ids.select(col("id"), col("id").as("label"))
+    for (_ <- 0 until iters) {
+      val cnt = und.join(lab, und("src") === lab("id"))
+        .select(col("dst").as("id"), col("label"))
+        .groupBy("id", "label").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("id").orderBy(col("c").desc, col("label").asc)
+      val newLab = cnt.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select(col("id"), col("label"))
+      lab = ids.join(newLab, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        .localCheckpoint(true)
+    }
+    lab
   }
 }

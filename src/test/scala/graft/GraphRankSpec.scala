@@ -56,6 +56,28 @@ class GraphRankSpec extends AnyFunSuite {
     assert(r(5L) === 0L)
   }
 
+  test("label propagation: disjoint cliques converge to their min ids") {
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L))
+      .toDF("src", "dst")
+    val r = GraphRank.labelPropagation(nodes, edges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(r(_) == 1L), s"first clique: $r")
+    assert(Seq(4L, 5L, 6L).forall(r(_) == 4L), s"second clique: $r")
+  }
+
+  test("label propagation: a single bridge edge does not merge two K4s") {
+    val nodes = (1L to 8L).toDF("id")
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val edges = (k4a ++ k4b :+ (4L, 5L)).toDF("src", "dst")
+    val r = GraphRank.labelPropagation(nodes, edges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.values.toSet.size === 2, s"expected two communities: $r")
+    assert(Seq(1L, 2L, 3L, 4L).map(r).toSet.size === 1)
+    assert(Seq(5L, 6L, 7L, 8L).map(r).toSet.size === 1)
+  }
+
   test("ranks are bit-identical across partitionings") {
     val nodes = (0L until 40L).toSeq
     val edges = nodes.flatMap(i => Seq((i, (i + 1) % 40), (i, (i * 11 + 5) % 40)))

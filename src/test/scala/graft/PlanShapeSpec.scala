@@ -59,10 +59,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // hll_distinct's final fold is a global agg over the ≤64-row
     // register table and bottomk_distinct's over exactly k=64
     // TakeOrdered rows: their SinglePartition exchange carries one
-    // partial-agg row per partition, never the corpus
+    // partial-agg row per partition, never the corpus.
+    // ppjoin_pairs' global rarity-rank window touches one row per
+    // VOCAB entry after the df partial agg — shard_pack's bounded
+    // argument again
     val offenders = batchNames.filterNot(
       Set("shard_pack", "seq_pack", "corpus_shuffle", "hll_distinct",
-        "bottomk_distinct"))
+        "bottomk_distinct", "ppjoin_pairs"))
       .filter(n => plan(n).contains("SinglePartition"))
     assert(offenders.isEmpty,
       s"unexpected single-partition exchange in: ${offenders.mkString(", ")}")
