@@ -2019,7 +2019,8 @@ object SparkEntry {
       """WITH h AS (SELECT DISTINCT cast(concat('0x', substr(md5(text), 1, 8)) as bigint) AS h
         |   FROM documents),
         | k AS (SELECT h FROM h ORDER BY h LIMIT 64)
-        | SELECT max(h) AS kth_hash, (63 * 4294967296) // max(h) AS est_distinct
+        | SELECT max(h) AS kth_hash,
+        |   (63 * 4294967296) // greatest(max(h), 1) AS est_distinct
         | FROM k""".stripMargin,
     // brute-force all-pairs ground truth for the prefix-filtered
     // set-similarity join — a STRONGER check than replaying the filter:

@@ -194,6 +194,10 @@ object Sketches {
     df.select(conv(substring(md5(key), 1, 8), 16, 10).cast("long").as("h"))
       .distinct().orderBy("h").limit(k)
       .agg(max("h").as("kth_hash"))
+      // greatest(·,1): an md5 starting 00000000 (p = 2^-32) would make
+      // h_k zero and the ANSI div throw — the oracle carries the same
+      // guard so the arithmetic stays identical
       .select(col("kth_hash"),
-        expr(s"(${k - 1}L * 4294967296L) div kth_hash").as("est_distinct"))
+        expr(s"(${k - 1}L * 4294967296L) div greatest(kth_hash, 1L)")
+          .as("est_distinct"))
 }
