@@ -1243,7 +1243,70 @@ object SparkEntry {
         .select(col("id"), posexplode(col("vec")).as(Seq("dim", "value")))
         .select(col("id"), col("dim"), round(col("value"), 6).as("value"))
         .orderBy("id", "dim")
-    })
+    }),
+
+    // --- round 5: temporal joins, semantic dedup, graph link
+    //     prediction, PMI collocations, stratified sampling,
+    //     semi-structured extraction ---
+
+    // distributed AS-OF join (telemetry-to-frame alignment shape):
+    // every click gains the latest view of the same user at ts <= its
+    // own — union-tag + ONE keyed window + running last(ignoreNulls),
+    // no range join; the oracle replays the identical
+    // (ts, side, event_id) total order
+    "asof_join" -> ((s, dir) =>
+      graft.ops.Temporal.asofJoin(t(s, dir, "events"))
+        .orderBy("event_id")),
+    // trailing 10-minute RANGE-frame rolling count/cents-sum per user —
+    // value-based frames are peer-order-free, so ties at equal ts are
+    // frame-complete on both engines
+    "range_rolling" -> ((s, dir) =>
+      graft.ops.Temporal.rollingRange(t(s, dir, "events"))
+        .orderBy("event_id")),
+    // SemDeDup-style semantic dedup: portable md5-ranked centroids →
+    // Euclidean argmin clusters → within-cluster rank<=64 anchor pairs →
+    // cosine >= tau drops the later vector; the oracle replays centroid
+    // choice, assignment, anchor pairing and the smallest-anchor argmin.
+    // tau = 0.40 sits where this fixture's diffuse embedding space has
+    // duplicates to find (max within-cluster cosine 0.474; a real
+    // embedding corpus runs the production 0.95+) — OracleMarginSpec
+    // audits the tau and round-6 margins
+    "semantic_dedup" -> ((s, dir) =>
+      graft.ops.Dedup.semanticDedup(t(s, dir, "embeddings"), tau = 0.40)
+        .orderBy("vec_id")),
+    // Adamic-Adar link prediction over the exact kNN graph: top-50
+    // non-adjacent pairs by integer-micro sum of 1/log2(deg) over
+    // common neighbors — wedge join + anti-join + partial agg, every
+    // weight the interpolated floor-log2 recipe the oracle replays
+    "link_predict" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = SimilaritySearch.neighborGraph(emb, k = 5, exact = true)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+      val nodes = emb.select(col("vec_id").cast("long").as("id"))
+      graft.ops.GraphRank.adamicAdar(nodes, edges, k = 50)
+    }),
+    // top-50 positive-PMI collocations within the df-top-100 vocab:
+    // presence counts, exact int64 milli-log2 scores, quadratic work
+    // bounded by the broadcast vocabulary
+    "pmi_pairs" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(t(s, dir, "documents"))),
+    // deterministic stratified sample: EXACT ceil(n*0.2) docs per
+    // source by (md5-bucket, doc_id) rank — the equal-allocation
+    // complement to source_sample's in-expectation hash thresholding
+    "stratified_sample" -> ((s, dir) =>
+      graft.ops.Selection.stratifiedSample(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+    // semi-structured extraction: the JSON props column parsed and
+    // aggregated per event type (get_json_object ↔ json_extract_string)
+    "q29_json_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"))
   )
 
   /** Shared CTE chain of the HLL oracles: register = first md5 hex byte
@@ -2299,7 +2362,114 @@ object SparkEntry {
         |        ELSE seg.pv + (seg.nv - seg.pv) * (g.gts - seg.pt) / (seg.nt - seg.pt) END AS value
         | FROM g JOIN seg ON g.inspection_id = seg.inspection_id AND g.channel = seg.channel
         |   AND g.gts >= seg.pt AND (g.gts < seg.nt OR seg.nt IS NULL)
-        | ORDER BY g.inspection_id, g.channel, g.frame_index""".stripMargin
+        | ORDER BY g.inspection_id, g.channel, g.frame_index""".stripMargin,
+
+    // replays the as-of total order exactly: union-tag, the
+    // (ts_us, side, event_id) keyed sort, running last(IGNORE NULLS)
+    "asof_join" ->
+      """WITH u AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side,
+        |     cast(floor(value * 100 + 0.5) as bigint) AS cents
+        |   FROM events WHERE event_type IN ('click', 'view')),
+        | c AS (SELECT *,
+        |     last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w AS asof_event_id,
+        |     last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS) OVER w AS asof_ts_us,
+        |     last_value(CASE WHEN side = 0 THEN cents END IGNORE NULLS) OVER w AS asof_cents
+        |   FROM u WINDOW w AS (PARTITION BY user_id
+        |     ORDER BY ts_us, side, event_id ROWS UNBOUNDED PRECEDING))
+        | SELECT event_id, user_id, ts_us, asof_event_id,
+        |   ts_us - asof_ts_us AS gap_us, asof_cents
+        | FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "range_rolling" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        | cast(count(*) OVER w as bigint) AS n_window,
+        | cast(sum(cast(floor(value * 100 + 0.5) as bigint)) OVER w as bigint) AS cents_window
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        | ORDER BY event_id""".stripMargin,
+    // replays SemDeDup stage for stage: md5-ranked seed centroids
+    // (ann_ivf_portable's recipe, over ALL vectors), Euclidean argmin
+    // assignment, within-cluster rank<=64 anchor pairs, cosine >= tau,
+    // smallest-anchor argmin per dropped vector
+    "semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+        | hb AS (SELECT vec_id, v,
+        |    cast(concat('0x', substr(md5(cast(vec_id as varchar)), 1, 8)) as bigint) % 1000000 AS h
+        |  FROM e),
+        | cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v AS cv
+        |   FROM hb ORDER BY h, vec_id LIMIT 8),
+        | assign AS (SELECT t.vec_id, t.v, c.cid,
+        |     row_number() OVER (PARTITION BY t.vec_id
+        |       ORDER BY list_distance(t.v, c.cv), c.cid) AS rk
+        |   FROM hb t CROSS JOIN cents c),
+        | cl AS (SELECT vec_id, v, cast(cid as bigint) AS cluster FROM assign WHERE rk = 1),
+        | rkd AS (SELECT vec_id, v, cluster,
+        |     row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rk FROM cl),
+        | hits AS (SELECT m.vec_id, m.cluster, a.vec_id AS anchor,
+        |     list_cosine_similarity(a.v, m.v) AS cos
+        |   FROM rkd a JOIN rkd m ON a.cluster = m.cluster AND a.vec_id < m.vec_id
+        |   WHERE a.rk <= 64),
+        | best AS (SELECT vec_id, cluster, anchor, cos,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY anchor) AS rn
+        |   FROM hits WHERE cos >= 0.40)
+        | SELECT vec_id, cluster, anchor AS dup_of, round(cos, 6) AS cosine
+        | FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // the shared kNN edge CTE symmetrized, then wedge enumeration,
+    // existing-edge exclusion, and the integer 1000000//milliLog2(deg)
+    // Adamic-Adar weights — identical arithmetic to the engine
+    "link_predict" ->
+      s"""$knnEdgeCtes,
+        | und AS (SELECT DISTINCT src, dst FROM (
+        |     SELECT src, dst FROM ed
+        |     UNION ALL SELECT dst AS src, src AS dst FROM ed) u
+        |   WHERE src <> dst),
+        | degs AS (SELECT dst AS z, cast(count(*) as bigint) AS deg FROM und GROUP BY dst),
+        | inv AS (SELECT z, 1000000 // (${lrmSql("deg", "1")}) AS inv_micro
+        |   FROM degs WHERE deg >= 2),
+        | wed AS (SELECT e1.src AS a, e2.dst AS b, e1.dst AS z
+        |   FROM und e1 JOIN und e2 ON e1.dst = e2.src AND e1.src < e2.dst),
+        | cand AS (SELECT a, b, z FROM wed
+        |   WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.src = wed.a AND u.dst = wed.b))
+        | SELECT a, b, cast(count(*) as bigint) AS n_common,
+        |   cast(sum(inv_micro) as bigint) AS aa_micro
+        | FROM cand JOIN inv USING (z)
+        | GROUP BY a, b ORDER BY aa_micro DESC, a, b LIMIT 50""".stripMargin,
+    // presence-based PMI: distinct (doc, word), df-top-100 vocab with
+    // the (df desc, word) cut, per-doc pair enumeration, the exact
+    // interpolated milli-log2 of the integer rational
+    "pmi_pairs" ->
+      s"""WITH dw AS (SELECT DISTINCT doc_id, w FROM (
+        |     SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) u
+        |   WHERE length(w) > 0),
+        | voc AS (SELECT w, cast(count(*) as bigint) AS df FROM dw GROUP BY w
+        |   ORDER BY count(*) DESC, w LIMIT 100),
+        | dv AS (SELECT doc_id, w, df FROM dw JOIN voc USING (w)),
+        | pr AS (SELECT a.w AS w1, b.w AS w2, cast(count(*) as bigint) AS n_co,
+        |     min(a.df) AS c1, min(b.df) AS c2
+        |   FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.w < b.w
+        |   GROUP BY a.w, b.w),
+        | n AS (SELECT cast(count(*) as bigint) AS n FROM documents)
+        | SELECT w1, w2, n_co,
+        |   cast(${lrmSql("n_co * n", "c1 * c2")} as bigint) AS pmi_milli
+        | FROM pr, n WHERE n_co * n >= c1 * c2
+        | ORDER BY pmi_milli DESC, w1, w2 LIMIT 50""".stripMargin,
+    "stratified_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |     cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8)) as bigint) % 1000000 AS h
+        |   FROM documents),
+        | r AS (SELECT doc_id, source,
+        |     row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+        |     count(*) OVER (PARTITION BY source) AS n
+        |   FROM d)
+        | SELECT doc_id, source FROM r
+        | WHERE rk <= (n * 200 + 999) // 1000 ORDER BY doc_id""".stripMargin,
+    "q29_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        | cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
+        | min(cast(json_extract_string(props, '$.k') as bigint)) AS min_k,
+        | max(cast(json_extract_string(props, '$.k') as bigint)) AS max_k
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** fingerprints oracle: the same base-31 polynomial k-gram hash

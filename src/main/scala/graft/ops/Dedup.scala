@@ -495,4 +495,50 @@ object Dedup {
       .where(col("cos_raw") >= threshold)
       .select(col("a"), col("b"), round(col("cos_raw"), 6).as("cosine"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the embedding space, then inside each cluster drop every vector
+    * whose cosine to an EARLIER (smaller-id) cluster member clears
+    * `tau` — one representative survives per semantic near-dup group
+    * without ever comparing across clusters.
+    *
+    * Fully portable arithmetic so an external engine replays every
+    * stage: centroids are [[SimilaritySearch.portableSeedCentroids]]
+    * (md5-ranked sample rows), assignment is the Euclidean strict-<
+    * argmin fold, and the within-cluster pairing is the rank ≤ `cap`
+    * anchor join every near-dup family here uses (candidates linear in
+    * cluster size, never all-pairs). Output: one row per DROPPED
+    * vector — (vec_id, cluster, dup_of, cosine) with dup_of the
+    * smallest qualifying anchor.
+    *
+    * Scale shape: broadcast-argmin assignment is map-only; the anchor
+    * join shuffles once on cluster id; the per-vector argmin-anchor is
+    * a window row_number — at 100 TB the cluster count (not 8) grows
+    * with the corpus so per-cluster membership stays bounded, the
+    * SemDeDup paper's own scaling lever.
+    */
+  def semanticDedup(embeddings: DataFrame, tau: Double = 0.97,
+                    centroids: Int = 8, cap: Int = 64): DataFrame = {
+    val cents = SimilaritySearch.portableSeedCentroids(embeddings, centroids)
+    val assigned = embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      .withColumn("cluster",
+        SimilaritySearch.nearestCentroidL2(col("vec"), cents).cast("long"))
+      .localCheckpoint(false)
+    val w = Window.partitionBy("cluster").orderBy("vec_id")
+    val ranked = assigned.withColumn("rk", row_number().over(w))
+    val anchors = ranked.where(col("rk") <= cap)
+      .select(col("vec_id").as("anchor"), col("cluster"), col("vec").as("va"))
+    val hits = anchors
+      .join(ranked.select(col("vec_id"), col("cluster"), col("vec")), Seq("cluster"))
+      .where(col("anchor") < col("vec_id"))
+      .withColumn("cos_raw", SimilaritySearch.cosine(col("va"), col("vec")))
+      .where(col("cos_raw") >= tau)
+    val firstAnchor = Window.partitionBy("vec_id").orderBy("anchor")
+    hits.withColumn("rn", row_number().over(firstAnchor))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("anchor").as("dup_of"),
+        round(col("cos_raw"), 6).as("cosine"))
+  }
 }

@@ -124,4 +124,50 @@ object GraphRank {
     }
     lab
   }
+
+  /** Adamic–Adar link prediction over the symmetrized edge set: score
+    * every NON-adjacent pair (a < b) that shares at least one common
+    * neighbor by Σ_z 1/log(deg z) — rare shared neighbors count more —
+    * the classic missing-edge ranker (here: kNN edges the blocked
+    * candidate generation missed, i.e. near-dup pairs worth a second
+    * verify pass).
+    *
+    * Integer contract: the per-vertex weight is
+    * 1000000 div milliLog2(deg z) (the interpolated floor-log2 recipe
+    * every scoring op here shares), so scores are exact int64 micro
+    * units an external engine replays bit for bit. A common neighbor
+    * has degree ≥ 2 by construction, so the divisor is ≥ 1000 — never
+    * zero.
+    *
+    * Scale shape: wedge enumeration is ONE self-equi-join on the hub
+    * vertex (work Σ deg² — bounded by (2k)² per vertex on a kNN graph;
+    * AQE skew-split handles power-law hubs), existing edges leave via
+    * a broadcast-able anti-join, then a (a,b)-keyed partial agg and a
+    * bounded TakeOrdered. No global sort, no cartesian.
+    */
+  def adamicAdar(nodes: DataFrame, edges: DataFrame, k: Int = 50): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val inv = und.groupBy(col("dst").as("z"))
+      .agg(count(lit(1)).as("deg"))
+      // only deg >= 2 vertices can BE common neighbors; the filter also
+      // keeps milliLog2(deg) >= 1000, so the ANSI div never sees zero
+      .where(col("deg") >= 2)
+      .withColumn("inv_micro",
+        expr(s"1000000L div (${Selection.logRatioMilli("deg", "1")})"))
+      .select("z", "inv_micro")
+    val wedge = und.as("e1")
+      .join(und.as("e2"),
+        col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e2.dst").as("b"), col("e1.dst").as("z"))
+    val nonEdge = wedge.join(
+      und.select(col("src").as("a"), col("dst").as("b")),
+      Seq("a", "b"), "left_anti")
+    nonEdge.join(inv, Seq("z"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum("inv_micro").as("aa_micro"))
+      .orderBy(desc("aa_micro"), asc("a"), asc("b"))
+      .limit(k)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-selection operators for assembling a training corpus: a
@@ -172,4 +173,32 @@ object Selection {
         .orderBy(desc("dsir_milli"), asc("doc_id")).limit(k)
         .select("doc_id"),
       Seq("doc_id"), "left_semi")
+
+  /** Deterministic stratified sampling with EXACT per-stratum counts:
+    * every source keeps ⌈n·permille/1000⌉ documents — the equal-rate
+    * allocation a mixture audit needs, where [[Mixing]]'s DoReMi
+    * hash-threshold sampler only hits its rate in expectation. The
+    * within-stratum order is (md5-bucket of doc_id, doc_id) — the
+    * portable hashBucket recipe — so the kept set is content-blind,
+    * reproducible, and replayable by any engine with md5.
+    *
+    * Scale shape: one shuffle on source, a per-stratum window count +
+    * row_number (each stratum streams through one task's sorter —
+    * strata are sources, bounded in cardinality; a skewed giant
+    * stratum is exactly what AQE skew-split handles). No global sort,
+    * no collect.
+    */
+  def stratifiedSample(docs: DataFrame, permille: Int = 200): DataFrame = {
+    val byHash = Window.partitionBy("source")
+      .orderBy("h", "doc_id")
+    val all = Window.partitionBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    docs
+      .select(col("doc_id"), col("source"),
+        CurationPipeline.hashBucket(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(byHash))
+      .withColumn("n", count(lit(1)).over(all))
+      .where(col("rk") <= expr(s"(n * $permille + 999) div 1000"))
+      .select(col("doc_id"), col("source"))
+  }
 }

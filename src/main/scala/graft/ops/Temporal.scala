@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators the reference's telemetry/frame alignment
+  * implies but Spark lacks as built-ins: the AS-OF join (each event
+  * matched to the latest earlier event of another kind — the
+  * telemetry-to-frame alignment shape of
+  * `pipeline/video_input/inspection_video_input.py:118-138`, where each
+  * consumed frame is paired with the most recent telemetry fix) and a
+  * value-range rolling window (per-key aggregates over a trailing time
+  * interval, the sliding-window analog of A12's sessionization).
+  *
+  * Both are expressed Spark-first as single-pass window plans: the
+  * as-of join is NOT a join at all but a union + one keyed sort + a
+  * running `last(ignoreNulls)` carry — one shuffle on the key, no
+  * range-join explosion, no per-row probe; the rolling window is a
+  * native RANGE frame over `unix_micros`. Each partitions by the
+  * natural key (user), so both scale linearly in events per key and
+  * AQE skew-split applies to hot keys.
+  */
+object Temporal {
+
+  /** AS-OF join within one event stream: every `leftType` event gains
+    * the most recent `rightType` event of the SAME user with
+    * `right.ts <= left.ts` (ties at equal ts: the right event is
+    * visible, and among equal-ts right events the largest event_id
+    * wins — the deterministic total order (ts, side, event_id)).
+    *
+    * Plan: union-tag both sides, one window per user ordered by
+    * (ts_us, side, event_id) with side = 0 for the right stream, then a
+    * running `last(ignoreNulls)` carries the latest right event onto
+    * every left row. One shuffle, no join — the standard distributed
+    * as-of at any scale (a range join would rescan; a per-row probe
+    * wouldn't distribute).
+    *
+    * Output: (event_id, user_id, ts_us, asof_event_id, gap_us,
+    * asof_cents) — cents via the integer-cent contract, null asof
+    * columns when no earlier right event exists.
+    */
+  def asofJoin(events: DataFrame, leftType: String = "click",
+               rightType: String = "view"): DataFrame = {
+    val tagged = events
+      .where(col("event_type").isin(leftType, rightType))
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        when(col("event_type") === leftType, lit(1)).otherwise(lit(0)).as("side"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id")
+      .orderBy("ts_us", "side", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rightOnly = (c: String) => when(col("side") === 0, col(c))
+    tagged
+      .withColumn("asof_event_id", last(rightOnly("event_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts_us", last(rightOnly("ts_us"), ignoreNulls = true).over(w))
+      .withColumn("asof_cents", last(rightOnly("cents"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_event_id"), (col("ts_us") - col("asof_ts_us")).as("gap_us"),
+        col("asof_cents"))
+  }
+
+  /** Trailing time-range rolling aggregate: per user, per event, the
+    * count and integer-cent sum of `value` over events in
+    * [ts − windowUs, ts] — a native RANGE frame on `unix_micros`, so
+    * equal-ts ties are frame-complete on every engine (value-based
+    * frames don't depend on peer order). One shuffle on user_id.
+    */
+  def rollingRange(events: DataFrame, windowUs: Long = 600000000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-windowUs, 0)
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("cents_window", sum("cents").over(w))
+      .select("event_id", "user_id", "ts_us", "n_window", "cents_window")
+  }
+}

@@ -174,4 +174,48 @@ object TextAnalysis {
         size(col("c.w")).cast("long").as("n_tokens"),
         array_join(col("c.w"), " ").as("chunk"))
   }
+
+  /** Pointwise-mutual-information co-occurrence pairs: the top-k word
+    * pairs (within the df-ranked top-`vocabSize` vocabulary) whose
+    * document co-occurrence beats independence — the collocation /
+    * topic-coherence signal (word2vec's SGNS factorizes exactly a
+    * shifted version of this matrix).
+    *
+    * Presence-based counts: c_x = df(x), c_xy = |docs containing both|,
+    * PMI = log2(c_xy·N / (c_x·c_y)) kept only when ≥ 0 and emitted in
+    * exact int64 milli units via the interpolated floor-log2 recipe
+    * ([[Retrieval.bm25TopK]]'s idf) — no transcendental, bit-identical
+    * on any engine.
+    *
+    * Scale shape: the quadratic blowup is bounded BY CONSTRUCTION to
+    * the broadcast vocabulary (≤ vocabSize distinct words per doc ⇒
+    * ≤ vocabSize²/2 pair keys total in the agg); the per-doc pair
+    * enumeration is one self-equi-join on doc_id over vocab-filtered
+    * rows. df table ≤ |vocab| rows broadcasts; the final top-k is a
+    * TakeOrderedAndProject, no global sort.
+    */
+  def pmiPairs(docs: DataFrame, vocabSize: Int = 100, k: Int = 50): DataFrame = {
+    val dw = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .distinct()
+      .localCheckpoint(false)
+    val vocab = dw.groupBy("w").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("w")).limit(vocabSize)
+    val dv = dw.join(broadcast(vocab), Seq("w"))
+    val pairs = dv.as("a")
+      .join(dv.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("n_co"),
+        first(col("a.df")).as("c1"), first(col("b.df")).as("c2"))
+    val n = docs.count()
+    pairs
+      .where(col("n_co") * n >= col("c1") * col("c2"))
+      .withColumn("pmi_milli",
+        expr(Selection.logRatioMilli(s"n_co * ${n}L", "c1 * c2")))
+      .select(col("w1"), col("w2"), col("n_co"), col("pmi_milli"))
+      .orderBy(desc("pmi_milli"), asc("w1"), asc("w2"))
+      .limit(k)
+  }
 }

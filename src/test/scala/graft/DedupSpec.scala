@@ -88,6 +88,21 @@ class DedupSpec extends AnyFunSuite {
       === (0 until 150).map(_.toLong).toSet)
   }
 
+  test("semantic dedup: planted duplicates drop to the smallest-id keeper") {
+    // 40 spread vectors + two exact copies of vector 0 under high ids:
+    // identical vectors share a cluster (same argmin), so both copies
+    // must drop with dup_of = 0 and vector 0 itself survives
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 17 + d)).toSeq, 0)
+    } ++ Seq(99L, 100L).map(id =>
+      (id, Array.tabulate(16)(d => math.sin(0 * 17 + d)).toSeq, 0))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val dropped = Dedup.semanticDedup(df, tau = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dropped(99L) === 0L && dropped(100L) === 0L)
+    assert(!dropped.contains(0L))
+  }
+
   test("bpe token estimate: whitespace tokens + ceil(len/4) sub-tokens") {
     // "internationalization" -> ceil(20/4)=5; "a" -> 1; "cat" -> 1
     val df = Seq("internationalization a cat").toDF("text")

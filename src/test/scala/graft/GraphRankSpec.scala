@@ -88,4 +88,29 @@ class GraphRankSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  private def aa(nodes: Seq[Long], edges: Seq[(Long, Long)]) =
+    GraphRank.adamicAdar(nodes.toDF("id"), edges.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+
+  test("adamic-adar: path endpoints score via the shared hub, exact integers") {
+    // path 1-2-3: only candidate (1,3); hub deg 2 -> milliLog2 = 1000
+    // -> weight 1000000 div 1000 = 1000. Degree-1 endpoints never feed
+    // the divisor (the ANSI div-by-zero guard).
+    val got = aa(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)))
+    assert(got === Map((1L, 3L) -> ((1L, 1000L))))
+  }
+
+  test("adamic-adar: rare hubs outweigh busy hubs; existing edges excluded") {
+    // hub 0 has deg 6 -> milliLog2 = 2000 + 6000//4 - 1000 = 2500 ->
+    // weight 1000000 div 2500 = 400; hub 9 (and every deg-2 vertex)
+    // weighs 1000 — rare shared neighbors count more.
+    val star = Seq(1L, 2L, 3L, 4L, 7L, 8L).map(i => (0L, i)) ++
+      Seq((9L, 3L), (9L, 4L), (1L, 2L)) // 1-2 adjacent -> excluded
+    val got = aa(0L to 9L, star)
+    assert(!got.contains((1L, 2L)))
+    assert(got((3L, 4L)) === ((2L, 1400L))) // hubs 0 (400) + 9 (1000)
+    assert(got((3L, 7L)) === ((1L, 400L)))  // via the busy hub only
+    assert(got((0L, 9L)) === ((2L, 2000L))) // via deg-2 hubs 3 and 4
+  }
 }

@@ -95,4 +95,20 @@ class SelectionSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(wide === one && wide.nonEmpty)
   }
+
+  test("stratified sample: exact ceil(n*rate) per stratum, deterministic, content-blind") {
+    val docs = ((0L until 10L).map(i => doc(i, s"text $i", "A")) ++
+      (10L until 13L).map(i => doc(i, s"text $i", "B")) ++
+      Seq(doc(13L, "only one", "C")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Selection.stratifiedSample(docs, permille = 200)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // ceil(10*.2)=2, ceil(3*.2)=1, ceil(1*.2)=1 — no stratum ever empties
+    assert(bySrc === Map("A" -> 2, "B" -> 1, "C" -> 1))
+    // determinism: a different partitioning keeps the identical kept set
+    val again = Selection.stratifiedSample(docs.repartition(7), permille = 200)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet === again.toSet)
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.Temporal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AS-OF join semantics (latest earlier right event, equal-ts
+  * visibility, max-event_id tie rule, per-user isolation, null when no
+  * prior) and the trailing RANGE-frame boundary contract.
+  */
+class TemporalSpec extends AnyFunSuite {
+  lazy implicit val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def events(rows: (Long, Long, Long, String, Double)*) =
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("sec")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+
+  test("asof: latest earlier view, equal-ts visible, null when none") {
+    val df = events(
+      (0L, 5L, 1L, "click", 0.0),   // before any view -> null
+      (1L, 10L, 1L, "view", 1.25),
+      (2L, 15L, 1L, "click", 0.0),  // -> view 1, gap 5s
+      (3L, 20L, 1L, "view", 2.0),
+      (4L, 20L, 1L, "click", 0.0),  // tie at equal ts -> view 3, gap 0
+      (9L, 90L, 1L, "purchase", 0.0)) // other types never participate
+    val got = Temporal.asofJoin(df).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(got(0L) === ((None, None, None)))
+    assert(got(2L) === ((Some(1L), Some(5000000L), Some(125L))))
+    assert(got(4L) === ((Some(3L), Some(0L), Some(200L))))
+    assert(!got.contains(9L))
+  }
+
+  test("asof: equal-ts views resolve to the largest event_id; users isolated") {
+    val df = events(
+      (5L, 30L, 1L, "view", 1.0),
+      (6L, 30L, 1L, "view", 2.0),
+      (7L, 30L, 1L, "click", 0.0), // both views at its own ts -> id 6 wins
+      (8L, 40L, 2L, "click", 0.0)) // user 2 has no views -> null
+    val got = Temporal.asofJoin(df).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(got(7L) === Some(6L))
+    assert(got(8L) === None)
+  }
+
+  test("rolling range: trailing window includes the -window boundary exactly") {
+    val df = events(
+      (1L, 0L, 1L, "view", 1.0),
+      (2L, 300L, 1L, "view", 1.0),
+      (3L, 600L, 1L, "view", 1.0),  // [0, 600]: all three
+      (4L, 601L, 1L, "view", 1.0),  // [1, 601]: 2,3,4 (event 1 just aged out)
+      (5L, 601L, 2L, "view", 9.0))  // other user: own frame only
+    val got = Temporal.rollingRange(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got(3L) === ((3L, 300L)))
+    assert(got(4L) === ((3L, 300L)))
+    assert(got(5L) === ((1L, 900L)))
+  }
+}
