@@ -1297,6 +1297,33 @@ object SparkEntry {
     "stratified_sample" -> ((s, dir) =>
       graft.ops.Selection.stratifiedSample(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // k-core onion peel over the kNN graph: synchronous
+    // Batagelj-Zaveršnik rounds at k=6 — layer = the round a vertex
+    // fell out (1..4), 0 = survives; this fixture peels 207/250/43
+    // across three rounds to an empty core, every round oracle-unrolled
+    "kcore" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = SimilaritySearch.neighborGraph(emb, k = 5, exact = true)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+      val nodes = emb.select(col("vec_id").cast("long").as("id"))
+      graft.ops.GraphRank.kCorePeel(nodes, edges, k = 6, rounds = 4)
+        .select(col("id").as("vec_id"), col("layer"))
+        .orderBy("vec_id")
+    }),
+    // strict first-touch conversion funnel view→click→purchase within
+    // 30-minute hops: two chained forward first(ignoreNulls) windows
+    // over one (ts, step, event_id) total order — one shuffle, both
+    // engines replay the identical attribution
+    "funnel_counts" -> ((s, dir) =>
+      graft.ops.Temporal.funnelCounts(t(s, dir, "events"))
+        .orderBy("user_id")),
+    // mergeable equi-width histogram quantiles (the deterministic
+    // fixed-memory quantile sketch): per-lang p50/p90/p99 as bin lower
+    // edges, ceil-threshold rank arithmetic in exact int64
+    "hist_quantiles" -> ((s, dir) =>
+      graft.ops.Sketches.histQuantiles(t(s, dir, "documents"))
+        .orderBy("lang")),
     // semi-structured extraction: the JSON props column parsed and
     // aggregated per event type (get_json_object ↔ json_extract_string)
     "q29_json_props" -> ((s, dir) =>
@@ -1389,6 +1416,37 @@ object SparkEntry {
     }.mkString
     head + its +
       "\n SELECT id AS vec_id, cast(label as bigint) AS community FROM l4 ORDER BY vec_id"
+  }
+
+  /** kcore oracle: the shared kNN edge CTE symmetrized, then every
+    * peel round unrolled — alive-vertex degrees via LEFT JOIN (isolated
+    * survivors count 0), drop at < k with the round as the layer.
+    */
+  private val kcoreOracleSql: String = {
+    val K = 6; val R = 4
+    val head =
+      s"""$knnEdgeCtes,
+        | u0 AS (SELECT DISTINCT src, dst FROM (
+        |     SELECT src, dst FROM ed
+        |     UNION ALL SELECT dst AS src, src AS dst FROM ed) x
+        |   WHERE src <> dst),
+        | v0 AS (SELECT id FROM nodes)""".stripMargin
+    val its = (1 to R).map { r =>
+      s""",
+        | d$r AS (SELECT v.id, coalesce(c.d, 0) AS d FROM v${r - 1} v
+        |   LEFT JOIN (SELECT dst AS id, cast(count(*) as bigint) AS d
+        |     FROM u${r - 1} GROUP BY dst) c USING (id)),
+        | drop$r AS (SELECT id, $r AS layer FROM d$r WHERE d < $K),
+        | v$r AS (SELECT id FROM d$r WHERE d >= $K),
+        | u$r AS (SELECT src, dst FROM u${r - 1}
+        |   WHERE src IN (SELECT id FROM v$r) AND dst IN (SELECT id FROM v$r))""".stripMargin
+    }.mkString
+    head + its +
+      s"""
+        | SELECT id AS vec_id, cast(layer as bigint) AS layer FROM (
+        |   ${(1 to R).map(r => s"SELECT id, layer FROM drop$r").mkString(" UNION ALL ")}
+        |   UNION ALL SELECT id, 0 AS layer FROM v$R)
+        | ORDER BY vec_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2464,6 +2522,40 @@ object SparkEntry {
         |   FROM d)
         | SELECT doc_id, source FROM r
         | WHERE rk <= (n * 200 + 999) // 1000 ORDER BY doc_id""".stripMargin,
+    "kcore" -> kcoreOracleSql,
+    // replays the funnel's two chained forward windows: first purchase
+    // at/after every row, then the first click's (ts, purchase-ts) —
+    // both CASEs non-null on the same first click row — and the
+    // identical window-bound CASE arithmetic
+    "funnel_counts" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |     CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS step
+        |   FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        | p1 AS (SELECT *,
+        |     first_value(CASE WHEN step = 2 THEN ts_us END IGNORE NULLS) OVER w AS p_ts
+        |   FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, step, event_id
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        | p2 AS (SELECT *,
+        |     first_value(CASE WHEN step = 1 THEN ts_us END IGNORE NULLS) OVER w AS c_ts,
+        |     first_value(CASE WHEN step = 1 THEN p_ts END IGNORE NULLS) OVER w AS c_pts
+        |   FROM p1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, step, event_id
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        | SELECT user_id, count(*) AS n_views,
+        |   cast(sum(CASE WHEN c_ts - ts_us <= 1800000000 THEN 1 ELSE 0 END) as bigint) AS n_clicked,
+        |   cast(sum(CASE WHEN c_ts - ts_us <= 1800000000
+        |     AND c_pts - c_ts <= 1800000000 THEN 1 ELSE 0 END) as bigint) AS n_converted
+        | FROM p2 WHERE step = 0 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "hist_quantiles" ->
+      """WITH b AS (SELECT lang, n_chars // 50 AS bin FROM documents),
+        | c AS (SELECT lang, bin, cast(count(*) as bigint) AS c FROM b GROUP BY 1, 2),
+        | m AS (SELECT lang, bin, c,
+        |     sum(c) OVER (PARTITION BY lang ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+        |     sum(c) OVER (PARTITION BY lang) AS n FROM c)
+        | SELECT lang,
+        |   min(CASE WHEN cum * 100 >= n * 50 THEN bin * 50 END) AS p50_lo,
+        |   min(CASE WHEN cum * 100 >= n * 90 THEN bin * 50 END) AS p90_lo,
+        |   min(CASE WHEN cum * 100 >= n * 99 THEN bin * 50 END) AS p99_lo
+        | FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "q29_json_props" ->
       """SELECT event_type, count(*) AS n,
         | cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,

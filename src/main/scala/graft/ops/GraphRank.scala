@@ -170,4 +170,45 @@ object GraphRank {
       .orderBy(desc("aa_micro"), asc("a"), asc("b"))
       .limit(k)
   }
+
+  /** k-core onion peel: the iterative-removal decomposition (Seidman's
+    * k-core via Batagelj-Zaveršnik peeling, round-synchronous) — each
+    * round every vertex with CURRENT degree < k leaves, edges touching
+    * it vanish, and the cascade repeats. Output is one row per vertex:
+    * `layer` = the round (1-based) it fell out, 0 = still in the
+    * k-core after `rounds` rounds. Peel depth reads as embeddedness —
+    * layer-1 vertices are fringe, layer-0 the dense core (for a
+    * curation graph: how tightly a document sits in its near-dup
+    * neighborhood).
+    *
+    * Deterministic by construction (the synchronous cascade has no
+    * tie-breaks), so a fixed `rounds` unrolls into an exact external
+    * replay. Scale shape per round: one partial-agg degree count, a
+    * left join onto the alive-vertex set, two semi-joins to drop dead
+    * edges — all key-partitioned shuffles, localCheckpoint truncating
+    * the iteration's lineage (the CC/label-prop discipline).
+    */
+  def kCorePeel(nodes: DataFrame, edges: DataFrame, k: Int,
+                rounds: Int = 4): DataFrame = {
+    var alive = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var verts = nodes.select(col("id")).localCheckpoint(true)
+    var layers = verts.select(col("id"), lit(0L).as("layer")).limit(0)
+    for (r <- 1 to rounds) {
+      val deg = verts.join(
+          alive.groupBy(col("dst").as("id")).agg(count(lit(1)).as("d")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
+      val dropped = deg.where(col("d") < k)
+        .select(col("id"), lit(r.toLong).as("layer"))
+      layers = layers.unionAll(dropped).localCheckpoint(true)
+      verts = deg.where(col("d") >= k).select("id").localCheckpoint(true)
+      alive = alive
+        .join(verts.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(verts.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst").localCheckpoint(true)
+    }
+    layers.unionAll(verts.select(col("id"), lit(0L).as("layer")))
+  }
 }

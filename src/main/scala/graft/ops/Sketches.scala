@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable counting sketches — the approximate-query family a 100 TB
@@ -200,4 +201,37 @@ object Sketches {
       .select(col("kth_hash"),
         expr(s"(${k - 1}L * 4294967296L) div greatest(kth_hash, 1L)")
           .as("est_distinct"))
+
+  /** Mergeable fixed-bin histogram quantiles — the one-pass,
+    * fixed-memory quantile sketch (the equi-width cousin of t-digest,
+    * fully deterministic): per group, bucket `n_chars` into
+    * `binWidth`-wide bins, partial-agg the counts (the sketch state —
+    * one long per occupied bin, mergeable by addition), then each
+    * requested percentile reads the smallest bin whose cumulative
+    * count reaches ⌈p·n/100⌉. Reported value = the bin's LOWER edge —
+    * integer, so the answer is exact sketch semantics on any engine,
+    * no interpolation float.
+    *
+    * Scale shape: one (group, bin) partial agg — state is bins, not
+    * rows — then a per-group cumulative window over the bounded bin
+    * table. Nothing touches corpus-sized state after the first agg.
+    */
+  def histQuantiles(docs: DataFrame, binWidth: Long = 50L,
+                    percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val counts = docs
+      .select(col("lang"), expr(s"n_chars div ${binWidth}L").as("bin"))
+      .groupBy("lang", "bin").agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("lang").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(
+        Window.partitionBy("lang")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // cum*100 >= p*n  ⇔  cum >= ceil(p*n/100), all int64
+    val picks = percents.map(p =>
+      min(when(col("cum") * 100 >= col("n") * p, col("bin") * binWidth))
+        .as(s"p${p}_lo"))
+    cum.groupBy("lang").agg(picks.head, picks.tail: _*)
+  }
 }

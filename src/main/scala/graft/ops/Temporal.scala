@@ -80,4 +80,48 @@ object Temporal {
       .withColumn("cents_window", sum("cents").over(w))
       .select("event_id", "user_id", "ts_us", "n_window", "cents_window")
   }
+
+  /** Strict three-step conversion funnel (view → click → purchase):
+    * per user, how many views see a click within `windowUs`, and how
+    * many of those see a purchase within `windowUs` of THAT click (the
+    * first-touch attribution rule: each view attributes to its FIRST
+    * following click, each click to its first following purchase —
+    * no back-tracking, so the count is a strict funnel, monotone
+    * n_views ≥ n_clicked ≥ n_converted).
+    *
+    * Plan: two chained forward-looking `first(ignoreNulls)` windows
+    * over the same (ts_us, step, event_id) total order — same
+    * partitioning and sort, so Catalyst plans ONE shuffle + one sort
+    * for both passes. Equal-ts rows resolve by step order (view before
+    * click before purchase), making same-instant chains visible and
+    * the whole computation engine-replayable.
+    */
+  def funnelCounts(events: DataFrame, windowUs: Long = 1800000000L): DataFrame = {
+    val step = when(col("event_type") === "view", 0)
+      .when(col("event_type") === "click", 1).otherwise(2)
+    val tagged = events
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), step.as("step"))
+    val fwd = Window.partitionBy("user_id")
+      .orderBy("ts_us", "step", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // both first_value's CASE is non-null exactly on click rows, so
+    // c_ts and c_pts come from the SAME first click
+    tagged
+      .withColumn("p_ts",
+        first(when(col("step") === 2, col("ts_us")), ignoreNulls = true).over(fwd))
+      .withColumn("c_ts",
+        first(when(col("step") === 1, col("ts_us")), ignoreNulls = true).over(fwd))
+      .withColumn("c_pts",
+        first(when(col("step") === 1, col("p_ts")), ignoreNulls = true).over(fwd))
+      .where(col("step") === 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_views"),
+        sum(when(col("c_ts") - col("ts_us") <= windowUs, 1L).otherwise(0L))
+          .as("n_clicked"),
+        sum(when(col("c_ts") - col("ts_us") <= windowUs &&
+            col("c_pts") - col("c_ts") <= windowUs, 1L).otherwise(0L))
+          .as("n_converted"))
+  }
 }

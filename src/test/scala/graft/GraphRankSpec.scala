@@ -113,4 +113,17 @@ class GraphRankSpec extends AnyFunSuite {
     assert(got((3L, 7L)) === ((1L, 400L)))  // via the busy hub only
     assert(got((0L, 9L)) === ((2L, 2000L))) // via deg-2 hubs 3 and 4
   }
+
+  test("k-core peel: the chain cascades outside-in, the clique survives") {
+    // path 1-2-3-4-5 at k=2: endpoints fall round 1, then 2 and 4,
+    // then the stranded middle; K4 over 6..9 keeps degree 3 forever;
+    // isolated vertex 10 (degree 0) falls immediately
+    val nodes = (1L to 10L).toDF("id")
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ++
+      (for (a <- 6L to 9L; b <- a + 1 to 9L) yield (a, b))).toDF("src", "dst")
+    val got = GraphRank.kCorePeel(nodes, edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 5L -> 1L, 10L -> 1L, 2L -> 2L, 4L -> 2L,
+      3L -> 3L, 6L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 0L))
+  }
 }

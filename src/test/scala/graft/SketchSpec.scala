@@ -122,4 +122,22 @@ class SketchSpec extends AnyFunSuite {
     val d = Sketches.cmsEstimate(docs.repartition(7)).orderBy("word").collect().toSeq
     assert(c === d)
   }
+
+  test("hist quantiles: ceil-rank bin picks, hand-checked") {
+    // lang A lengths 10,60,120,130 -> bins 0,1,2,2 (width 50), n=4:
+    // p50 needs cum >= 2 -> bin 1 (edge 50); p90 needs cum >= 3.6 ->
+    // bin 2 (edge 100); p99 likewise 100. lang B is a single row: every
+    // percentile reads its only bin.
+    val docs = Seq((1L, "A", 10L), (2L, "A", 60L), (3L, "A", 120L),
+      (4L, "A", 130L), (5L, "B", 260L))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = Sketches.histQuantiles(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("A") === ((50L, 100L, 100L)))
+    assert(got("B") === ((250L, 250L, 250L)))
+    // mergeability: partitioning never moves a pick
+    val again = Sketches.histQuantiles(docs.repartition(5)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === again)
+  }
 }

@@ -45,6 +45,32 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(8L) === None)
   }
 
+  test("funnel: first-touch attribution, window bounds, same-instant chains") {
+    val W = 1800L // 30 min in seconds
+    val df = events(
+      // user 1: clean conversion (click +10m, purchase +10m after click)
+      (1L, 0L, 1L, "view", 0.0), (2L, 600L, 1L, "click", 0.0),
+      (3L, 1200L, 1L, "purchase", 0.0),
+      // user 2: click in window, purchase 40m after the click -> clicked only
+      (4L, 0L, 2L, "view", 0.0), (5L, 600L, 2L, "click", 0.0),
+      (6L, 600L + 2400L, 2L, "purchase", 0.0),
+      // user 3: first click 40m out -> view only (no back-tracking)
+      (7L, 0L, 3L, "view", 0.0), (8L, 2400L, 3L, "click", 0.0),
+      // user 4: view/click/purchase at the same instant -> converted
+      (9L, 50L, 4L, "view", 0.0), (10L, 50L, 4L, "click", 0.0),
+      (11L, 50L, 4L, "purchase", 0.0),
+      // user 5: purchase BEFORE the click never attributes
+      (12L, 0L, 5L, "purchase", 0.0), (13L, 10L, 5L, "view", 0.0),
+      (14L, 20L, 5L, "click", 0.0))
+    val got = graft.ops.Temporal.funnelCounts(df, windowUs = W * 1000000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((1L, 1L, 1L)))
+    assert(got(2L) === ((1L, 1L, 0L)))
+    assert(got(3L) === ((1L, 0L, 0L)))
+    assert(got(4L) === ((1L, 1L, 1L)))
+    assert(got(5L) === ((1L, 1L, 0L)))
+  }
+
   test("rolling range: trailing window includes the -window boundary exactly") {
     val df = events(
       (1L, 0L, 1L, "view", 1.0),
