@@ -1324,6 +1324,33 @@ object SparkEntry {
     "hist_quantiles" -> ((s, dir) =>
       graft.ops.Sketches.histQuantiles(t(s, dir, "documents"))
         .orderBy("lang")),
+    // Johnson-Lindenstrauss random projection onto 8 portable
+    // md5-derived directions ('rp_' plane namespace) — map-only, no
+    // fit; the oracle regenerates the planes and replays every inner
+    // product (pca_reduce's exploded output shape)
+    "rp_reduce" -> ((s, dir) =>
+      SimilaritySearch.rpReduce(t(s, dir, "embeddings"))
+        .orderBy("vec_id", "dim")),
+    // multi-source BFS layers from the vec_id % 97 seed set over the
+    // kNN graph: dist = first-reach round (0 seeds, -1 unreached at 4
+    // rounds — label blocking keeps distant groups unreached), every
+    // frontier expansion oracle-unrolled
+    "bfs_dist" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = SimilaritySearch.neighborGraph(emb, k = 5, exact = true)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+      val nodes = emb.select(col("vec_id").cast("long").as("id"))
+      graft.ops.GraphRank.bfsLayers(nodes, edges,
+          nodes.where(col("id") % 97 === 0), rounds = 4)
+        .select(col("id").as("vec_id"), col("dist"))
+        .orderBy("vec_id")
+    }),
+    // per-source KL divergence from the corpus token mix, exact
+    // token·milli-log2 integers via the signed interpolated floor-log2
+    "source_kl" -> ((s, dir) =>
+      graft.ops.Mixing.sourceKl(t(s, dir, "documents"))
+        .orderBy("source")),
     // semi-structured extraction: the JSON props column parsed and
     // aggregated per event type (get_json_object ↔ json_extract_string)
     "q29_json_props" -> ((s, dir) =>
@@ -1447,6 +1474,33 @@ object SparkEntry {
         |   ${(1 to R).map(r => s"SELECT id, layer FROM drop$r").mkString(" UNION ALL ")}
         |   UNION ALL SELECT id, 0 AS layer FROM v$R)
         | ORDER BY vec_id""".stripMargin
+  }
+
+  /** bfs_dist oracle: the shared kNN edge CTE symmetrized, seeds at
+    * vec_id % 97 = 0, then every frontier round unrolled (reach = join
+    * on the previous frontier, minus everything already settled).
+    */
+  private val bfsOracleSql: String = {
+    val R = 4
+    val head =
+      s"""$knnEdgeCtes,
+        | und AS (SELECT DISTINCT src, dst FROM (
+        |     SELECT src, dst FROM ed
+        |     UNION ALL SELECT dst AS src, src AS dst FROM ed) x
+        |   WHERE src <> dst),
+        | n0 AS (SELECT id, 0 AS dist FROM nodes WHERE id % 97 = 0),
+        | a0 AS (SELECT id, dist FROM n0)""".stripMargin
+    val its = (1 to R).map { r =>
+      s""",
+        | n$r AS (SELECT DISTINCT u.dst AS id, $r AS dist FROM und u
+        |   WHERE u.src IN (SELECT id FROM n${r - 1})
+        |     AND u.dst NOT IN (SELECT id FROM a${r - 1})),
+        | a$r AS (SELECT id, dist FROM a${r - 1} UNION ALL SELECT id, dist FROM n$r)""".stripMargin
+    }.mkString
+    head + its +
+      s"""
+        | SELECT n.id AS vec_id, cast(coalesce(a.dist, -1) as bigint) AS dist
+        | FROM nodes n LEFT JOIN a$R a ON n.id = a.id ORDER BY vec_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2523,6 +2577,36 @@ object SparkEntry {
         | SELECT doc_id, source FROM r
         | WHERE rk <= (n * 200 + 999) // 1000 ORDER BY doc_id""".stripMargin,
     "kcore" -> kcoreOracleSql,
+    "bfs_dist" -> bfsOracleSql,
+    // regenerates the 'rp_' md5 planes (ann_lsh_portable's coordinate
+    // recipe) and replays every inner product
+    "rp_reduce" ->
+      """WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+        | planes AS (SELECT b, list_transform(generate_series(0, 63),
+        |     d -> ((cast(concat('0x', substr(md5(concat('rp_', b, '_', d)), 1, 8)) as bigint) % 2001) - 1000) / 1000.0) AS p
+        |   FROM generate_series(0, 7) t(b))
+        | SELECT e.vec_id, cast(pl.b as bigint) AS dim,
+        |   round(list_inner_product(e.v, pl.p), 6) AS value
+        | FROM e CROSS JOIN planes pl ORDER BY vec_id, dim""".stripMargin,
+    // per-source KL: (source, word) token counts, corpus word totals,
+    // the signed interpolated milli-log2 of c_sw·T / t_w·T_s, summed
+    // token-weighted — identical integer arithmetic to the engine
+    "source_kl" ->
+      s"""WITH t AS (SELECT source, w FROM (
+        |     SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) u
+        |   WHERE length(w) > 0),
+        | sw AS (SELECT source, w, cast(count(*) as bigint) AS csw FROM t GROUP BY 1, 2),
+        | tw AS (SELECT w, cast(count(*) as bigint) AS tw FROM t GROUP BY 1),
+        | ts AS (SELECT source, cast(sum(csw) as bigint) AS tsrc FROM sw GROUP BY 1),
+        | n AS (SELECT cast(count(*) as bigint) AS total FROM t),
+        | j AS (SELECT sw.source, sw.csw,
+        |     CASE WHEN sw.csw * total >= tw.tw * ts.tsrc
+        |       THEN ${lrmSql("sw.csw * total", "tw.tw * ts.tsrc")}
+        |       ELSE -(${lrmSql("tw.tw * ts.tsrc", "sw.csw * total")}) END AS slm
+        |   FROM sw JOIN tw USING (w) JOIN ts USING (source) CROSS JOIN n)
+        | SELECT source, cast(sum(csw) as bigint) AS n_tokens,
+        |   cast(sum(csw * slm) as bigint) AS kl_milli_tokens
+        | FROM j GROUP BY source ORDER BY source""".stripMargin,
     // replays the funnel's two chained forward windows: first purchase
     // at/after every row, then the first click's (ts, purchase-ts) —
     // both CASEs non-null on the same first click row — and the

@@ -211,4 +211,38 @@ object GraphRank {
     }
     layers.unionAll(verts.select(col("id"), lit(0L).as("layer")))
   }
+
+  /** Multi-source BFS layers: every vertex labeled with the round at
+    * which the expanding frontier first reaches it (0 = seed, -1 =
+    * unreached after `rounds`) — distance labeling from a seed set,
+    * the reachability primitive under "how far is this document from
+    * the curated anchors" queries.
+    *
+    * Round-synchronous and tie-free (a vertex reached by several
+    * frontier members gets the same round regardless), so a fixed
+    * `rounds` unrolls into an exact oracle replay. Per round: one
+    * frontier⋈edges equi-join, a distinct, an anti-join against the
+    * settled set — frontier-sized work, never corpus², with
+    * localCheckpoint truncating the iteration lineage.
+    */
+  def bfsLayers(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+                rounds: Int = 4): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var dist = nodes.join(seeds, Seq("id"), "left_semi")
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = dist.select("id")
+    for (r <- 1 to rounds) {
+      val next = und
+        .join(frontier.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(r.toLong).as("dist")).localCheckpoint(true)
+      dist = dist.unionAll(next).localCheckpoint(true)
+      frontier = next.select("id")
+    }
+    nodes.join(dist, Seq("id"), "left")
+      .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
 }

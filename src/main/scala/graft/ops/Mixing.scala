@@ -199,4 +199,39 @@ object Mixing {
       .select(col("doc_id"), col("n_words"),
         expr("s div n_words").as("idf_micro_mean"))
   }
+
+  /** Per-source KL divergence from the corpus token distribution —
+    * the mixture-drift diagnostic (which sources' vocabularies deviate
+    * most from the blend they feed): Σ_w c_sw · log2(p_s(w)/q(w)) with
+    * p_s(w) = c_sw/T_s and q(w) = t_w/T, reported UNNORMALIZED in
+    * token·milli-log2 units. Every log2 is the signed interpolated
+    * floor-log2 of the exact integer rational c_sw·T vs t_w·T_s — the
+    * [[idfScore]]/bm25 discipline, so the statistic is bit-identical
+    * on any engine. (At extreme corpus scale the c_sw·T product wants
+    * a shared-gcd rescale before the rational; documented, not needed
+    * at these magnitudes.)
+    *
+    * Scale shape: one (source, word) partial agg over the token
+    * explode, then vocab-bounded df/total side tables broadcast onto
+    * it — no corpus-sized join, no global sort.
+    */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .localCheckpoint(false)
+    val sw = toks.groupBy("source", "w").agg(count(lit(1)).as("csw"))
+    val tw = toks.groupBy("w").agg(count(lit(1)).as("tw"))
+    val ts = sw.groupBy("source").agg(sum("csw").as("tsrc"))
+    val total = toks.count()
+    val slm =
+      s"(CASE WHEN csw * ${total}L >= tw * tsrc " +
+        s"THEN ${Selection.logRatioMilli(s"csw * ${total}L", "tw * tsrc")} " +
+        s"ELSE -(${Selection.logRatioMilli("tw * tsrc", s"csw * ${total}L")}) END)"
+    sw.join(broadcast(tw), Seq("w"))
+      .join(broadcast(ts), Seq("source"))
+      .withColumn("term", expr(s"csw * $slm"))
+      .groupBy("source")
+      .agg(sum("csw").as("n_tokens"), sum("term").as("kl_milli_tokens"))
+  }
 }

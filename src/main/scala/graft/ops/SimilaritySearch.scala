@@ -413,4 +413,29 @@ object SimilaritySearch {
     if (exact) graft.canon.KnnJoin.exactTopK(feat, k)
     else graft.canon.KnnJoin.approxTopK(feat, k)
   }
+
+  /** Johnson–Lindenstrauss random projection with PORTABLE planes: the
+    * md5-derived unit-cube coordinates ([[portablePlanes]], `rp_`
+    * namespace) define `dims` fixed projection directions, and every
+    * vector maps to its `dims` inner products — the standard
+    * dimensionality-reduction front-end for sketching/clustering when
+    * PCA's data-dependent fit is unnecessary. Purely map-side (the
+    * planes are literals baked into codegen): no fit pass, no shuffle,
+    * embarrassingly parallel at any scale — and the oracle regenerates
+    * the identical planes from its own md5, so the projection is
+    * engine-replayable end to end.
+    *
+    * Output: (vec_id, dim, value) rows, pca_reduce's exploded shape.
+    */
+  def rpReduce(embeddings: DataFrame, dims: Int = 8): DataFrame = {
+    val planes = portablePlanes(dims, 64, prefix = "rp_")
+    embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      .select(col("vec_id"),
+        posexplode(array(planes.map(p => dot(col("vec"), lit(p))).toIndexedSeq: _*))
+          .as(Seq("dim", "value")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("value"), 6).as("value"))
+  }
 }

@@ -14,6 +14,26 @@ class AnnSpec extends AnyFunSuite {
     .collect()(0).getSeq[Double](0).toArray
   lazy val rest = emb.where(col("vec_id") =!= 0)
 
+  test("rp projection: linear, map-determined, pca's exploded shape") {
+    import spark.implicits._
+    val a = Array.tabulate(64)(d => math.sin(d).toFloat)
+    val b = Array.tabulate(64)(d => math.cos(d * 3).toFloat)
+    val sum = a.zip(b).map { case (x, y) => x + y }
+    val df = Seq((1L, a.toSeq, 0), (2L, b.toSeq, 0), (3L, sum.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilaritySearch.rpReduce(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 24) // 3 vectors x 8 dims
+    // linearity of the fixed planes: rp(a+b) = rp(a) + rp(b) up to fp noise
+    (0L until 8L).foreach { d =>
+      assert(math.abs(got((3L, d)) - (got((1L, d)) + got((2L, d)))) < 1e-5)
+    }
+    // partitioning never moves a value (map-only, plane literals)
+    val again = SimilaritySearch.rpReduce(df.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === again)
+  }
+
   test("brute-force top-k is ordered by cosine desc and sized k") {
     val got = SimilaritySearch.bruteForceTopK(rest, query, 10).collect()
     assert(got.length === 10)

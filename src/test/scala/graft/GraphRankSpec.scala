@@ -126,4 +126,17 @@ class GraphRankSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 5L -> 1L, 10L -> 1L, 2L -> 2L, 4L -> 2L,
       3L -> 3L, 6L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 0L))
   }
+
+  test("bfs layers: path distances, horizon cutoff, multi-seed minimum") {
+    // path 1-2-3-4-5-6 seeded at 1: dist = hops, 6 beyond 4 rounds -> -1
+    val nodes = (1L to 6L).toDF("id")
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val one = GraphRank.bfsLayers(nodes, edges, Seq(1L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L, 6L -> -1L))
+    // a second seed at 6 pulls the far end in: every vertex <= 2 hops
+    val two = GraphRank.bfsLayers(nodes, edges, Seq(1L, 6L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
+  }
 }

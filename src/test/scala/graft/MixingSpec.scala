@@ -97,4 +97,21 @@ class MixingSpec extends AnyFunSuite {
     // decorrelated from doc_id order: not the identity permutation
     assert(got.exists { case (d, _, p) => d != p })
   }
+
+  test("source KL: zero for the corpus mix, hand-exact for a skewed pair") {
+    import spark.implicits._
+    def mk(rows: (Long, String, String)*) =
+      rows.map { case (id, txt, src) => (id, txt, "en", src, txt.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // identical distributions: every signed milli-log term is exactly 0
+    val unif = Mixing.sourceKl(mk((1L, "x y", "A"), (2L, "x y", "B")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(unif === Map("A" -> 0L, "B" -> 0L))
+    // A = "x x y", B = "x y y": T=6, t_x=t_y=3, T_s=3.
+    // x-term in A: 2·lrm(12,9) = 2·333; y-term: 1·(−lrm(9,6)) = −500
+    val skew = Mixing.sourceKl(mk((1L, "x x y", "A"), (2L, "x y y", "B")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(skew("A") === ((3L, 166L)))
+    assert(skew("B") === ((3L, 166L)))
+  }
 }
