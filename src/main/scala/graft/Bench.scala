@@ -130,12 +130,17 @@ object Bench {
       // transparency. Override: SPARK_GRAFT_SCALE_A.
       val coresA = sys.env.getOrElse("SPARK_GRAFT_SCALE_A", "1").toInt
       val coresB = math.min(coresA * 4, cpus) // N and 4N
-      // 1.5× the headline rows: the 4-cpu leg must stay well past the
-      // ~30 s fixed-overhead floor (it runs ~70-80 s here; the 1-cpu leg
-      // ~210 s) while keeping 4 paired reps inside a ~30-minute scaling
-      // phase.
+      // 2× the headline rows (round 5, up from 1.5×): the round-5 probe
+      // decomposed one pair's wall into Σ task-sec + residual — the
+      // 4-cpu leg's task time inflates ~1.23× (the §4 memory-bus
+      // effect, host physics), bounding eff at (P+c)/(1.23·P+4c) for
+      // serial constant c ≈ 5-7 s. Longer legs shrink c's share,
+      // pushing the CENTER toward the 1/inflation ceiling (~0.81) and
+      // halving per-draw variance; the 4-cpu leg must also stay well
+      // past the ~30 s fixed-overhead floor (it runs ~95 s here; the
+      // 1-cpu leg ~300 s).
       val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS",
-        (benchRows * 3 / 2).toString).toLong
+        (benchRows * 2).toString).toLong
       val scaleRepos = math.max((scaleRows / 1500).toInt, 1)
       // PAIRED reps, fresh JVM session per run: identical solo runs on
       // this shared VM spread by ±20% on multi-minute timescales
