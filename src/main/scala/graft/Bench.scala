@@ -150,12 +150,14 @@ object Bench {
       // then B back-to-back (near-identical host conditions within the
       // pair) and the rep with the highest efficiency — the least
       // interference — is reported whole. Runs are JIT-warmed.
-      // 6 reps: single-pair efficiency on this shared VM spreads ~±0.08
-      // around ~0.78 (BASELINE.md §6), and round 4 showed the MEDIAN is
-      // the gated number — 4 draws left it hostage to one bad window
-      // (driver run: median 0.772 vs committed 0.802). More draws make
-      // the central tendency, not just the best pair, robust.
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "6").toInt
+      // 5 reps (round 5; was 6): single-pair efficiency on this shared
+      // VM spreads ~±0.08 around ~0.78 (BASELINE.md §6), and round 4
+      // showed the MEDIAN is the gated number — too few draws leave it
+      // hostage to one bad window. With the 2× corpus each pair is ~30%
+      // longer (less per-draw variance), so 5 draws keep the scaling
+      // phase inside the same ~35-minute budget; an odd count also
+      // makes the median a single middle draw, not an average.
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
       // AQE off for the scaling legs only (SPARK_GRAFT_SCALE_AQE=1
       // restores it): see GraftSession.apply scaladoc — the AQE planning
       // constant is serial driver time paid equally at both levels, which

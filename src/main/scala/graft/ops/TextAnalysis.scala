@@ -208,7 +208,9 @@ object TextAnalysis {
         col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
       .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
       .agg(count(lit(1)).as("n_co"),
-        first(col("a.df")).as("c1"), first(col("b.df")).as("c2"))
+        // df is constant per word; min (not first) keeps the agg
+        // order-independent by construction
+        min(col("a.df")).as("c1"), min(col("b.df")).as("c2"))
     val n = docs.count()
     pairs
       .where(col("n_co") * n >= col("c1") * col("c2"))

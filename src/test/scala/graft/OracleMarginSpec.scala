@@ -243,6 +243,24 @@ class OracleMarginSpec extends AnyFunSuite {
         .select("ratio").collect().map(_.getDouble(0)).toSeq)
   }
 
+  test("rp_reduce: projection values keep margin from the round-6 grid") {
+    val m = graft.ops.SimilaritySearch.rpReduce(
+        spark.read.parquet(s"$dir/embeddings.parquet"))
+      .select((col("value") * 1e6).as("s")) // already rounded; audit the raw twin
+    // recompute unrounded to audit the boundary the rounding crossed
+    val planes = (0 until 8).map(b => Array.tabulate(64)(d =>
+      graft.ops.SimilaritySearch.portablePlaneCoef(s"rp_${b}_${d}")))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(expr("transform(embedding, x -> cast(x as double))").as("vec"))
+    val raw = e.select(array(planes.map(p =>
+        graft.ops.SimilaritySearch.dot(col("vec"), lit(p))): _*).as("vs"))
+      .select(explode(col("vs")).as("v"))
+    val margin = raw.agg(min(roundMargin(col("v"), 6))).collect()(0).getDouble(0)
+    info(f"min round-6 boundary margin of rp projections: $margin%.2e")
+    assert(margin > 1e-9, f"an rp projection sits $margin%.2e from a round-6 boundary")
+    assert(m.limit(1).count() === 1) // sanity: the gated shape materializes
+  }
+
   test("semantic_dedup: anchor-pair cosines keep margin from tau 0.40 and round-6") {
     // the same portable pipeline as the gate query, unthresholded:
     // every anchor-pair cosine must sit clear of the tau boundary, and
