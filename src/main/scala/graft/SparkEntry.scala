@@ -845,6 +845,27 @@ object SparkEntry {
       Multimodal.decodeAudioFeatures(Multimodal.syntheticMedia(s, 1000))
         .orderBy("media_id")
     }),
+    // perceptual image near-dup: dHash over REAL decoded PNG rasters
+    // (9×8 integer block grid, cross-multiplied brightness compares) +
+    // exact-fingerprint canonicalization; the oracle recomputes grid,
+    // bits and keeper from the synthetic pixel formula without ever
+    // seeing an image — a hash match proves encoder → PNG bytes →
+    // decoder → grid/compare/canon arithmetic end to end
+    "image_dhash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.imageDhash(Multimodal.syntheticMedia(s, 1000))
+        .orderBy("media_id")
+    }),
+    // Hamming-ball (≤6 of 64 bits) image near-dup over the same dHash:
+    // 4×16-bit bands → capped equi-join buckets → exact popcount. The
+    // oracle replays fingerprint → banding → rank cap → popcount from
+    // the pixel formula, so the hash gate covers the full candidate
+    // machinery including the hot-bucket anchor rule
+    "image_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.imageNearDup(Multimodal.syntheticMedia(s, 1000))
+        .orderBy("a", "b")
+    }),
     "fuzzy_link" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -1263,6 +1284,33 @@ object SparkEntry {
     "range_rolling" -> ((s, dir) =>
       graft.ops.Temporal.rollingRange(t(s, dir, "events"))
         .orderBy("event_id")),
+    // bucketized interval-overlap join: (view, click) pairs of the same
+    // user whose 6-hour intervals overlap. The oracle runs the NAIVE
+    // overlap join, so a hash match proves the engine's bucket-explode →
+    // equi-join → first-shared-bucket machinery against the plain
+    // semantics, not against a replay of itself
+    "interval_join" -> ((s, dir) =>
+      graft.ops.Temporal.intervalJoin(t(s, dir, "events"))
+        .orderBy("l_event_id", "r_event_id")),
+    // ledger time-travel: events become an add/del triple change ledger
+    // (any engagement asserts (user, ENGAGED_WITH, item-k); an 'error'
+    // retracts it), snapshotted at the corpus-midpoint timestamp. The
+    // scalar min/max fetch is a bounded one-row collect (established
+    // convention); the snapshot itself is one keyed window
+    "triple_snapshot" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val ledger = ev.select(
+        concat(lit("u"), col("user_id")).as("subj"),
+        lit("ENGAGED_WITH").as("pred"),
+        concat(lit("k"), get_json_object(col("props"), "$.k")).as("obj"),
+        when(col("event_type") === "error", lit("del"))
+          .otherwise(lit("add")).as("op"),
+        col("ts_us"), col("event_id"))
+      val r = ev.agg(min("ts_us"), max("ts_us")).head()
+      graft.materialize.Upsert.asOfSnapshot(ledger, (r.getLong(0) + r.getLong(1)) / 2)
+        .orderBy("subj", "obj")
+    }),
     // SemDeDup-style semantic dedup: portable md5-ranked centroids →
     // Euclidean argmin clusters → within-cluster rank<=64 anchor pairs →
     // cosine >= tau drops the later vector; the oracle replays centroid
@@ -1671,6 +1719,72 @@ object SparkEntry {
         |   cast(amp_sum as bigint) AS amp_sum,
         |   (1000 * cast(amp_sum as bigint)) // (cast(n as bigint) * 32768) AS amp_milli
         | FROM t ORDER BY media_id""".stripMargin,
+    // replays the dHash from the synthetic pixel formula: pixels →
+    // 9-col × 8-row block cells keyed by (x*9//w, y*8//h) → exact
+    // cross-multiplied brightness bits → two unsigned-32 halves →
+    // min-media_id canon per fingerprint; all-integer throughout.
+    // Empty ninth-column cells (w = 8) drop out of the join and the
+    // engine's 0 > 0 compare is false — both contribute bit 0
+    "image_dhash" ->
+      """WITH d AS (SELECT i, cast(8 + i % 16 as int) AS w,
+        |     cast(8 + (i // 16) % 16 as int) AS h
+        |   FROM generate_series(0, 999) t(i) WHERE i % 3 = 0),
+        | px AS (SELECT i, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM d),
+        | pv AS (SELECT i, w, h,
+        |     ((p % w) * 9) // w AS ci, ((p // w) * 8) // h AS cj,
+        |     ((p % w) * 7 + (p // w) * 13 + i) % 256 AS v
+        |   FROM px),
+        | c AS (SELECT i, w, h, ci, cj, sum(v) AS s, count(*) AS n
+        |   FROM pv GROUP BY 1, 2, 3, 4, 5),
+        | b AS (SELECT a.i, a.w, a.h, a.cj * 8 + a.ci AS k,
+        |     CASE WHEN a.s * bb.n > bb.s * a.n THEN 1 ELSE 0 END AS bit
+        |   FROM c a JOIN c bb ON a.i = bb.i AND a.cj = bb.cj AND bb.ci = a.ci + 1
+        |   WHERE a.ci < 8),
+        | hsh AS (SELECT i, w, h,
+        |     cast(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END) as bigint) AS dhash_hi,
+        |     cast(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END) as bigint) AS dhash_lo
+        |   FROM b GROUP BY 1, 2, 3)
+        | SELECT cast(i as bigint) AS media_id, w AS width, h AS height,
+        |   dhash_hi, dhash_lo,
+        |   cast(min(i) OVER (PARTITION BY dhash_hi, dhash_lo) as bigint) AS canon_id
+        | FROM hsh ORDER BY media_id""".stripMargin,
+    // same fingerprint CTE, then the banding/cap/popcount replay: 4×16-bit
+    // bands, row_number rank ≤ 64 anchors ordered by media_id (identical
+    // tie-free ordering both engines), popcount over both unsigned-32
+    // halves, radius 6
+    "image_neardup" ->
+      """WITH d AS (SELECT i, cast(8 + i % 16 as int) AS w,
+        |     cast(8 + (i // 16) % 16 as int) AS h
+        |   FROM generate_series(0, 999) t(i) WHERE i % 3 = 0),
+        | px AS (SELECT i, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM d),
+        | pv AS (SELECT i, w, h,
+        |     ((p % w) * 9) // w AS ci, ((p // w) * 8) // h AS cj,
+        |     ((p % w) * 7 + (p // w) * 13 + i) % 256 AS v
+        |   FROM px),
+        | c AS (SELECT i, ci, cj, sum(v) AS s, count(*) AS n
+        |   FROM pv GROUP BY 1, 2, 3),
+        | bb AS (SELECT a.i, a.cj * 8 + a.ci AS k,
+        |     CASE WHEN a.s * r.n > r.s * a.n THEN 1 ELSE 0 END AS bit
+        |   FROM c a JOIN c r ON a.i = r.i AND a.cj = r.cj AND r.ci = a.ci + 1
+        |   WHERE a.ci < 8),
+        | hsh AS (SELECT i,
+        |     cast(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END) as bigint) AS hi,
+        |     cast(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END) as bigint) AS lo
+        |   FROM bb GROUP BY 1),
+        | band AS (SELECT i, hi, lo, bd AS band,
+        |     CASE bd WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |             WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
+        |   FROM hsh CROSS JOIN (SELECT unnest(range(0, 4)) AS bd) bands),
+        | rk AS (SELECT i, band, bval,
+        |     row_number() OVER (PARTITION BY band, bval ORDER BY i) AS r FROM band),
+        | cand AS (SELECT DISTINCT a.i AS a, b.i AS b
+        |   FROM rk a JOIN band b USING (band, bval)
+        |   WHERE a.r <= 64 AND a.i < b.i),
+        | ham AS (SELECT c.a, c.b,
+        |     cast(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) as int) AS hamming
+        |   FROM cand c JOIN hsh ha ON ha.i = c.a JOIN hsh hb ON hb.i = c.b)
+        | SELECT cast(a as bigint) AS a, cast(b as bigint) AS b, hamming
+        | FROM ham WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
     // every 30th frame index of each video row, dims from the container
     // header formulas
     "multimodal_frame_sample" ->
@@ -2492,6 +2606,38 @@ object SparkEntry {
         | SELECT event_id, user_id, ts_us, asof_event_id,
         |   ts_us - asof_ts_us AS gap_us, asof_cents
         | FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
+    // the NAIVE closed-interval overlap join — deliberately NOT a replay
+    // of the engine's bucketization, so the hash gate proves the
+    // bucket-explode/equi-join/anchor machinery equals the semantics
+    "interval_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS s,
+        |     epoch_us(ts) + 21600000000 AS e
+        |   FROM events WHERE event_type = 'view'),
+        | r AS (SELECT event_id, user_id, epoch_us(ts) AS s,
+        |     epoch_us(ts) + 21600000000 AS e
+        |   FROM events WHERE event_type = 'click')
+        | SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
+        |   l.user_id AS user_id,
+        |   least(l.e, r.e) - greatest(l.s, r.s) AS overlap_us
+        | FROM l JOIN r ON l.user_id = r.user_id
+        |   AND l.s <= r.e AND r.s <= l.e
+        | ORDER BY l_event_id, r_event_id""".stripMargin,
+    // ledger replay at the integer-midpoint timestamp: latest op per
+    // (subj, pred, obj) at-or-before T wins (ts desc, event_id desc),
+    // and only a winning 'add' is in the snapshot
+    "triple_snapshot" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+        |     event_type, props FROM events),
+        | led AS (SELECT 'u' || user_id AS subj, 'ENGAGED_WITH' AS pred,
+        |     'k' || json_extract_string(props, '$.k') AS obj,
+        |     CASE WHEN event_type = 'error' THEN 'del' ELSE 'add' END AS op,
+        |     ts_us, event_id FROM e),
+        | rk AS (SELECT *, row_number() OVER (PARTITION BY subj, pred, obj
+        |     ORDER BY ts_us DESC, event_id DESC) AS rn
+        |   FROM led
+        |   WHERE ts_us <= (SELECT (min(ts_us) + max(ts_us)) // 2 FROM e))
+        | SELECT subj, pred, obj, ts_us AS since_us, event_id AS last_event_id
+        | FROM rk WHERE rn = 1 AND op = 'add' ORDER BY subj, obj""".stripMargin,
     "range_rolling" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         | cast(count(*) OVER w as bigint) AS n_window,

@@ -46,6 +46,34 @@ object Upsert {
     triples.where(!(ownedBy(col("subj")) || ownedBy(col("obj"))))
   }
 
+  /** Time-travel over a triple CHANGE LEDGER: reconstruct the graph as
+    * of `tsUs` from an append-only stream of `add`/`del` operations —
+    * the snapshot query every versioned store supports, and the natural
+    * readback for the upsert/retract ledger this file writes (the
+    * reference rebuilds state by replaying datastore.py's
+    * create/delete calls in order; here the replay is one window).
+    *
+    * Input columns: subj, pred, obj, op ∈ {add, del}, ts_us, event_id
+    * (the per-key tiebreak for equal timestamps). A key is IN the
+    * snapshot iff its latest operation at-or-before `tsUs` is an `add`;
+    * `since_us` reports that operation's timestamp.
+    *
+    * Plan: timestamp filter (pushed to the scan) → one window keyed by
+    * (subj, pred, obj) — a hash shuffle on the triple key, rank-1
+    * filter, nothing quadratic and no global ordering; at 100 TB this
+    * is the same shape as any keyed dedup and AQE skew-split applies.
+    */
+  def asOfSnapshot(ledger: DataFrame, tsUs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("subj", "pred", "obj")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    ledger.where(col("ts_us") <= tsUs)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("op") === "add")
+      .select(col("subj"), col("pred"), col("obj"),
+        col("ts_us").as("since_us"), col("event_id").as("last_event_id"))
+  }
+
   /** Similarity-only retract (similarity_pipeline.py:32-40): drop
     * similarity/cluster predicates for the given inspections, keep the
     * construction triples.

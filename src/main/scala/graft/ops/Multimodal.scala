@@ -256,6 +256,134 @@ object Multimodal {
     }.toDF("media_id", "kind", "payload", "flag")
   }
 
+  /** Difference-hash (dHash) of one decoded image: the perceptual
+    * fingerprint behind image near-dup at corpus scale (aHash/dHash are
+    * the standard cheap tier below learned embeddings). The raster is
+    * block-reduced to a 9-column × 8-row grid of integer (sum, count)
+    * cells — cell of pixel (x, y) is (x*9/w, y*8/h), the same integer
+    * floor both here and in the oracle, so there is no resampling
+    * kernel to match — and bit (i, j) records whether cell (i, j) is
+    * brighter than its right neighbor (i+1, j). The brightness compare
+    * is the exact cross-multiplication `sum_l·cnt_r > sum_r·cnt_l`
+    * (never a float mean; products stay under 2^63 for any image below
+    * ~2^26 pixels per cell, i.e. beyond 500-megapixel frames). Empty
+    * ninth-column cells (w < 9) compare 0 > 0 = false on both engines.
+    * 64 bits, split as two unsigned-32 longs (hi = bits 32..63) so no
+    * engine ever shifts into a sign bit.
+    */
+  def dhashImage(payload: Array[Byte]): (Int, Int, Long, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val sums = Array.ofDim[Long](9, 8)
+    val cnts = Array.ofDim[Long](9, 8)
+    var y = 0
+    while (y < h) {
+      val cj = (y * 8 / h).min(7)
+      var x = 0
+      while (x < w) {
+        val ci = (x * 9 / w).min(8)
+        sums(ci)(cj) += raster.getSample(x, y, 0)
+        cnts(ci)(cj) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (sums(i)(j) * cnts(i + 1)(j) > sums(i + 1)(j) * cnts(i)(j)) {
+          val k = j * 8 + i
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    (w, h, hi, lo)
+  }
+
+  /** Perceptual image near-dup: dHash every image row (real PNG decode)
+    * and canonicalize exact hash groups — `canon_id` = least media_id
+    * sharing the (hi, lo) fingerprint, the image analog of the text
+    * dedup family's keeper rule. Plan: batched mapPartitions decode
+    * (map-only over the binary column) → one window keyed by the
+    * 64-bit fingerprint; at 100 TB the window is a hash shuffle on the
+    * fingerprint — no pairwise image comparison anywhere. Hamming-ball
+    * (distance > 0) matching would ride the same banding machinery as
+    * [[Dedup.simhashPairs]]; exact-group canonicalization is the tier
+    * that needs no verify pass.
+    */
+  def imageDhash(media: DataFrame)(implicit spark: SparkSession): DataFrame =
+    dhashFrame(media).withColumn("canon_id",
+      min(col("media_id")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dhash_hi"), col("dhash_lo"))))
+
+  /** The shared decode→fingerprint stage of [[imageDhash]] and
+    * [[imageNearDup]]: map-only over the binary column.
+    */
+  private def dhashFrame(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.where(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, p) =>
+          val (w, h, hi, lo) = dhashImage(p)
+          (id, w, h, hi, lo)
+        }
+      }
+      .toDF("media_id", "width", "height", "dhash_hi", "dhash_lo")
+  }
+
+  /** Hamming-ball image near-dup: candidate pairs whose dHash
+    * fingerprints differ in at most `maxHamming` of 64 bits — the
+    * distance>0 tier above [[imageDhash]]'s exact groups, catching
+    * re-encodes / slight crops whose block grid moves a few compares.
+    * Same machinery as [[Dedup.simhashPairs]]: the 64-bit fingerprint
+    * splits into 4×16-bit bands (pigeonhole: hamming ≤ 3 GUARANTEES a
+    * shared band; larger radii trade recall for the same linear cost),
+    * candidates meet in a (band, value) bucket — an EQUI-join, with the
+    * rank≤`maxBucket` anchor cap so a hot fingerprint family can't go
+    * quadratic — and the exact popcount runs only on bucket-colocated
+    * pairs. The decode output is localCheckpoint'd before the self-join
+    * so PNG decoding runs once, not once per join side.
+    */
+  def imageNearDup(media: DataFrame, maxHamming: Int = 6, maxBucket: Int = 64)(
+      implicit spark: SparkSession): DataFrame = {
+    val hashed = dhashFrame(media)
+      .select("media_id", "dhash_hi", "dhash_lo").localCheckpoint(true)
+    val banded = hashed.select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+      posexplode(array(
+        col("dhash_lo").bitwiseAND(lit(0xffffL)),
+        shiftrightunsigned(col("dhash_lo"), 16).bitwiseAND(lit(0xffffL)),
+        col("dhash_hi").bitwiseAND(lit(0xffffL)),
+        shiftrightunsigned(col("dhash_hi"), 16).bitwiseAND(lit(0xffffL))))
+        .as(Seq("band", "bval")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bval").orderBy("media_id")
+    val a = banded.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= maxBucket)
+      .select(col("media_id").as("a"), col("dhash_hi").as("hia"),
+        col("dhash_lo").as("loa"), col("band"), col("bval"))
+    val b = banded.select(col("media_id").as("b"), col("dhash_hi").as("hib"),
+      col("dhash_lo").as("lob"), col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .where(col("a") < col("b"))
+      .withColumn("hamming",
+        (bit_count(col("hia").bitwiseXOR(col("hib"))) +
+          bit_count(col("loa").bitwiseXOR(col("lob")))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming").distinct()
+  }
+
   /** Frame sampling for video rows: every `step`-th frame index —
     * the `sequence` + explode shape that scales (no driver loops).
     */

@@ -81,6 +81,45 @@ object Temporal {
       .select("event_id", "user_id", "ts_us", "n_window", "cents_window")
   }
 
+  /** Bucketized interval-overlap join: every (view, click) pair of the
+    * SAME user whose `durUs`-long closed intervals [ts, ts + durUs]
+    * overlap — the temporal-extent join Spark has no built-in for (a
+    * raw `l.s <= r.e AND r.s <= l.e` join plans as a per-user nested
+    * loop; at corpus scale that's quadratic in events per key).
+    *
+    * Plan: the standard distributed interval join — quantize time into
+    * buckets of width `durUs` (each interval then spans ≤ 2 buckets),
+    * explode both sides to their covered buckets, EQUI-join on
+    * (user_id, bucket) and keep a pair only in the FIRST bucket the two
+    * intervals share (`bucket = greatest(l_b0, r_b0)` — the bucket of
+    * `greatest(l_start, r_start)`, which overlap guarantees lies in
+    * both intervals' ranges), so no post-join distinct is needed. The
+    * overlap test runs only on bucket-colocated candidates: linear in
+    * events per (user, window), never all-pairs, and the equi-join
+    * shuffles/broadcasts like any other join (AQE skew-split applies).
+    *
+    * Output: (l_event_id, r_event_id, user_id, overlap_us) with
+    * overlap_us = least(ends) − greatest(starts) ≥ 0 (0 = touching).
+    */
+  def intervalJoin(events: DataFrame, durUs: Long = 21600000000L): DataFrame = {
+    def side(t: String, p: String) = events
+      .where(col("event_type") === t)
+      .select(col("event_id").as(s"${p}_event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as(s"${p}_start"))
+      .withColumn(s"${p}_end", col(s"${p}_start") + durUs)
+      .withColumn(s"${p}_b0", expr(s"${p}_start div ${durUs}L"))
+      .withColumn("bucket",
+        explode(sequence(col(s"${p}_b0"), expr(s"${p}_end div ${durUs}L"))))
+    val l = side("view", "l")
+    val r = side("click", "r")
+    l.join(r, Seq("user_id", "bucket"))
+      .where(col("l_start") <= col("r_end") && col("r_start") <= col("l_end") &&
+        col("bucket") === greatest(col("l_b0"), col("r_b0")))
+      .select(col("l_event_id"), col("r_event_id"), col("user_id"),
+        (least(col("l_end"), col("r_end")) -
+          greatest(col("l_start"), col("r_start"))).as("overlap_us"))
+  }
+
   /** Strict three-step conversion funnel (view → click → purchase):
     * per user, how many views see a click within `windowUs`, and how
     * many of those see a purchase within `windowUs` of THAT click (the

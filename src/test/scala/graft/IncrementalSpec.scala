@@ -51,4 +51,25 @@ class IncrementalSpec extends AnyFunSuite {
     assert(retractedSet.subsetOf(fullSet) && retractedSet.size < fullSet.size)
     assert(tset(Upsert.upsert(retracted, tR, keys)) === fullSet)
   }
+
+  test("asOfSnapshot: latest-op-wins time travel over an add/del ledger") {
+    import spark.implicits._
+    // (subj, op, ts_us, event_id): X add@10 del@20; Y add@10 del@20 add@30;
+    // Z is a same-timestamp tie broken by event_id desc (del wins);
+    // W exists only in the future
+    val ledger = Seq(
+      ("X", "add", 10L, 1L), ("X", "del", 20L, 2L),
+      ("Y", "add", 10L, 3L), ("Y", "del", 20L, 4L), ("Y", "add", 30L, 5L),
+      ("Z", "add", 10L, 6L), ("Z", "del", 10L, 7L),
+      ("W", "add", 50L, 8L)
+    ).toDF("subj", "op", "ts_us", "event_id")
+      .withColumn("pred", lit("P")).withColumn("obj", lit("o"))
+    def at(t: Long): Map[String, Long] =
+      Upsert.asOfSnapshot(ledger, t).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(at(15L) === Map("X" -> 10L, "Y" -> 10L)) // Z's tie-break del wins
+    assert(at(25L) === Map.empty)                   // both deleted, W not yet
+    assert(at(35L) === Map("Y" -> 30L))             // re-add resurfaces Y
+    assert(at(60L) === Map("Y" -> 30L, "W" -> 50L))
+  }
 }

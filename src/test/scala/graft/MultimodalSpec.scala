@@ -78,6 +78,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.where(col("kind") =!= "image").count() === 40)
   }
 
+  test("dhash: identical pixel patterns share a fingerprint and a keeper") {
+    // ids 0 and 3840 are pixel-identical by construction: same dims
+    // (3840 % 16 = 0, (3840/16) % 16 = 0) and the additive seed agrees
+    // mod 256 (3840 % 256 = 0) — planted cross-corpus image duplicates
+    val d = Multimodal.imageDhash(Multimodal.syntheticMedia(spark, 3843))
+      .select("media_id", "dhash_hi", "dhash_lo", "canon_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d(3840L)._1 === d(0L)._1)
+    assert(d(3840L)._2 === d(0L)._2)
+    assert(d(3840L)._3 === 0L) // keeper = least media_id of the group
+    assert(d(0L)._3 === 0L)
+    // a wide image crosses the mod-256 wrap and gets a NONZERO
+    // fingerprint distinct from the small-gradient (0, 0) group
+    assert((d(15L)._1, d(15L)._2) !== ((d(0L)._1, d(0L)._2)))
+    assert(d(15L)._1 > 0L)
+    // hashes stay in unsigned-32 halves — no sign bit on either engine
+    d.values.foreach { case (hi, lo, _) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+    }
+  }
+
+  test("imageNearDup: planted identical pair at hamming 0, radius bound holds") {
+    // ids 0 and 768 are pixel-identical (same dims mod 16/256, seed
+    // agrees mod 256) — they MUST surface as a hamming-0 pair; 768 sits
+    // in 0's band buckets and 0 is always a rank-1 anchor
+    val pairs = Multimodal.imageNearDup(Multimodal.syntheticMedia(spark, 1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap((0L, 768L)) === 0)
+    pairs.foreach { case (a, b, h) =>
+      assert(a < b, s"pair ($a, $b) not ordered")
+      assert(h >= 0 && h <= 6, s"pair ($a, $b) hamming $h outside radius")
+    }
+    assert(pairs.length === pairs.distinct.length)
+  }
+
   test("sampleFrames explodes every step-th frame index of video rows") {
     val decoded = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, 30))
     val frames = Multimodal.sampleFrames(decoded, step = 30)

@@ -84,4 +84,45 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(4L) === ((3L, 300L)))
     assert(got(5L) === ((1L, 900L)))
   }
+
+  test("interval join: boundary semantics, user isolation, no bucket dupes") {
+    val D = 100L // seconds; durUs = 100e6
+    val df = events(
+      (1L, 0L, 1L, "view", 0.0),
+      (2L, 100L, 1L, "click", 0.0),  // touches view 1's end -> overlap 0
+      (3L, 101L, 1L, "click", 0.0),  // just past -> no pair with 1
+      (4L, 50L, 1L, "click", 0.0),   // inside -> overlap 50s
+      (5L, 30L, 2L, "click", 0.0),   // other user: isolated
+      // straddles a bucket boundary BOTH sides (buckets 0 and 1 shared):
+      // must appear exactly once despite two shared buckets
+      (6L, 90L, 3L, "view", 0.0), (7L, 95L, 3L, "click", 0.0))
+    val got = Temporal.intervalJoin(df, durUs = D * 1000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got === Map(
+      (1L, 2L) -> 0L,
+      (1L, 4L) -> 50000000L,
+      (6L, 7L) -> 95000000L))
+  }
+
+  test("interval join equals the naive overlap join on a random fixture") {
+    // brute-force ground truth over a dense fixture (many bucket spans,
+    // equal-ts ties, multi-bucket overlaps)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, (i * 37 % 500).toLong, (i % 7).toLong,
+        if (i % 2 == 0) "view" else "click", 0.0)
+    }
+    val df = events(rows: _*)
+    val D = 60L * 1000000L
+    val got = Temporal.intervalJoin(df, durUs = D)
+      .select("l_event_id", "r_event_id", "overlap_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = rows.map { case (id, sec, u, t, _) => (id, sec * 1000000L, u, t) }
+    val naive = (for {
+      (lid, ls, lu, lt) <- ev if lt == "view"
+      (rid, rs, ru, rt) <- ev if rt == "click" && ru == lu &&
+        ls <= rs + D && rs <= ls + D
+    } yield (lid, rid, math.min(ls + D, rs + D) - math.max(ls, rs))).toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
 }
