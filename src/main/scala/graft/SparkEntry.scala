@@ -767,6 +767,29 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.portableMinhashPairs(t(s, dir, "documents")).orderBy("a", "b")
     }),
+    // incremental dedup: the delta batch (doc_id % 8 = 7) probes the
+    // corpus's capped band-key index — |delta| × bucket-fanout work,
+    // never corpus² — and the oracle replays signatures → bands →
+    // corpus-side rank cap → agreement count stage for stage
+    "delta_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      Dedup.deltaPairs(
+        docs.where(col("doc_id") % 8 =!= 7),
+        docs.where(col("doc_id") % 8 === 7))
+        .orderBy("delta_id", "corpus_id")
+    }),
+    // per-delta-doc admission verdict on the same split: dup_corpus
+    // beats dup_delta (first-occurrence-keeps within the batch) beats
+    // admit; short docs have no signature and admit
+    "delta_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      Dedup.deltaAdmit(
+        docs.where(col("doc_id") % 8 =!= 7),
+        docs.where(col("doc_id") % 8 === 7))
+        .orderBy("doc_id")
+    }),
     // the simhash machinery (token hash → bit-majority vote → nibble
     // bands → Hamming verify) with md5-derived 16-bit token hashes —
     // recomputable in any engine, so the DuckDB oracle hash-proves it;
@@ -1827,6 +1850,41 @@ object SparkEntry {
          |${portableMinhashCtes("d")}
          | SELECT a, b, cast(n_match as bigint) AS n_match
          | FROM scored WHERE n_match >= 13 ORDER BY a, b""".stripMargin,
+    // replays the incremental probe: same signature/band arithmetic,
+    // corpus-side-only rank cap, delta probes every bucket it lands in
+    "delta_pairs" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 5),
+         |${portableMinhashCtes("d")},
+         |${deltaProbeCtes}
+         | SELECT delta_id, corpus_id, cast(n_match as bigint) AS n_match
+         | FROM vs WHERE n_match >= 13 ORDER BY delta_id, corpus_id""".stripMargin,
+    // the admission verdict on the same split: corpus match beats
+    // within-delta first-occurrence-keeps beats admit; short docs have
+    // no signature rows and fall through to admit
+    "delta_dedup" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 5),
+         |${portableMinhashCtes("d")},
+         |${deltaProbeCtes},
+         | drk AS (SELECT doc_id, band, bkey,
+         |  row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS r
+         |  FROM band WHERE doc_id % 8 = 7),
+         | dc AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM drk a JOIN band b USING (band, bkey)
+         |  WHERE b.doc_id % 8 = 7 AND a.r <= 64 AND a.doc_id < b.doc_id),
+         | ds AS (SELECT c.a, c.b,
+         |  sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS n_match
+         |  FROM dc c JOIN hj ha ON ha.doc_id = c.a
+         |  JOIN hj hb ON hb.doc_id = c.b AND hb.j = ha.j
+         |  GROUP BY c.a, c.b),
+         | dupc AS (SELECT DISTINCT delta_id AS doc_id FROM vs WHERE n_match >= 13),
+         | dupd AS (SELECT DISTINCT b AS doc_id FROM ds WHERE n_match >= 13)
+         | SELECT dd.doc_id,
+         |  CASE WHEN dupc.doc_id IS NOT NULL THEN 'dup_corpus'
+         |       WHEN dupd.doc_id IS NOT NULL THEN 'dup_delta'
+         |       ELSE 'admit' END AS verdict
+         | FROM (SELECT doc_id FROM documents WHERE doc_id % 8 = 7) dd
+         | LEFT JOIN dupc USING (doc_id) LEFT JOIN dupd USING (doc_id)
+         | ORDER BY doc_id""".stripMargin,
     // replays the substring-dedup span detection stage for stage (see
     // substringSpanCtes): any shared span of length L >= 10 is exactly
     // the island of its L-9 stride-1 gram hits
@@ -2885,6 +2943,25 @@ object SparkEntry {
     * minhash_portable oracle and the curation composite's near-dup
     * stage so the two cannot drift apart.
     */
+  /** The delta-vs-corpus probe CTEs shared by the delta_pairs and
+    * delta_dedup oracles: corpus rows (doc_id % 8 ≠ 7) get the rank≤64
+    * bucket cap, delta rows (doc_id % 8 = 7) probe uncapped, agreement
+    * is counted over the same 16 per-doc hash slots. Assumes
+    * portableMinhashCtes' hj/band CTEs are in scope.
+    */
+  private val deltaProbeCtes: String =
+    """ crk AS (SELECT doc_id, band, bkey,
+      |  row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS r
+      |  FROM band WHERE doc_id % 8 <> 7),
+      | vc AS (SELECT DISTINCT db.doc_id AS delta_id, c.doc_id AS corpus_id
+      |  FROM band db JOIN crk c USING (band, bkey)
+      |  WHERE db.doc_id % 8 = 7 AND c.r <= 64),
+      | vs AS (SELECT v.delta_id, v.corpus_id,
+      |  sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS n_match
+      |  FROM vc v JOIN hj ha ON ha.doc_id = v.delta_id
+      |  JOIN hj hb ON hb.doc_id = v.corpus_id AND hb.j = ha.j
+      |  GROUP BY v.delta_id, v.corpus_id)""".stripMargin
+
   private def portableMinhashCtes(src: String): String =
     s""" pos AS (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM $src),
        | gr AS (SELECT doc_id,

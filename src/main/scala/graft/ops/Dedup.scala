@@ -214,6 +214,77 @@ object Dedup {
       .select("a", "b", "n_match")
   }
 
+  /** Incremental (delta-vs-corpus) near-dup candidates: match a NEW
+    * batch against an existing corpus without ever re-pairing the
+    * corpus — the daily-crawl pattern at 100 TB, completing the dedup
+    * family's third axis (batch [[portableMinhashPairs]], streaming
+    * [[graft.streaming.StreamingIngest]], and now incremental). The
+    * corpus side's band keys act as the persisted index: the delta
+    * explodes to its band keys and EQUI-joins the corpus buckets, so
+    * cost is |delta| × bucket fanout, never corpus², and in production
+    * the corpus band table is written once and reused per batch. The
+    * hot-bucket cap ranks CORPUS docs per bucket (rank ≤ `maxBucket`
+    * by doc_id — the stable index-side anchor rule); every delta doc
+    * probes, none is dropped. Portable arithmetic throughout, so the
+    * oracle replays signatures → bands → capped probe → agreement
+    * count stage for stage.
+    *
+    * Output: (delta_id, corpus_id, n_match ≥ `minMatch`).
+    */
+  def deltaPairs(corpus: DataFrame, delta: DataFrame, numHashes: Int = 16,
+                 bands: Int = 4, shingle: Int = 5, minMatch: Int = 13,
+                 maxBucket: Int = 64)(
+      implicit spark: SparkSession): DataFrame = {
+    val csigs = portableMinhashSignatures(corpus, numHashes, shingle)
+      .localCheckpoint(false)
+    val dsigs = portableMinhashSignatures(delta, numHashes, shingle)
+      .localCheckpoint(false)
+    val w = Window.partitionBy("band", "bkey").orderBy("doc_id")
+    val c = portableBandKeys(csigs, bands, numHashes)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= maxBucket)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
+    val d = portableBandKeys(dsigs, bands, numHashes)
+      .select(col("doc_id").as("delta_id"), col("band"), col("bkey"))
+    val cands = d.join(c, Seq("band", "bkey"))
+      .select("delta_id", "corpus_id").distinct()
+    val sd = dsigs.select(col("doc_id").as("delta_id"), col("signature").as("sig_d"))
+    val sc = csigs.select(col("doc_id").as("corpus_id"), col("signature").as("sig_c"))
+    cands.join(sd, Seq("delta_id")).join(sc, Seq("corpus_id"))
+      .withColumn("n_match", expr(
+        "cast(size(filter(zip_with(sig_d, sig_c, (x, y) -> x = y), v -> v)) as bigint)"))
+      .where(col("n_match") >= minMatch)
+      .select("delta_id", "corpus_id", "n_match")
+  }
+
+  /** Incremental admission verdict per delta doc, from [[deltaPairs]]
+    * plus one within-delta [[portableMinhashPairs]] pass:
+    * `dup_corpus` if the doc near-dups anything already in the corpus,
+    * else `dup_delta` if it near-dups an EARLIER delta doc
+    * (first-occurrence-keeps, [[graft.ops.Repetition]] segmentDedup's
+    * keeper rule), else `admit`. Docs shorter than the shingle have no
+    * signature, match nothing, and admit. Both inputs are broadcastable
+    * verdict sets (bounded by the dup rate, not the corpus).
+    */
+  def deltaAdmit(corpus: DataFrame, delta: DataFrame, numHashes: Int = 16,
+                 bands: Int = 4, shingle: Int = 5, minMatch: Int = 13,
+                 maxBucket: Int = 64)(
+      implicit spark: SparkSession): DataFrame = {
+    val vsCorpus = deltaPairs(corpus, delta, numHashes, bands, shingle,
+      minMatch, maxBucket).select(col("delta_id").as("doc_id")).distinct()
+      .withColumn("dup_c", lit(true))
+    val within = portableMinhashPairs(delta, numHashes, bands, shingle,
+      minMatch, maxBucket).select(col("b").as("doc_id")).distinct()
+      .withColumn("dup_d", lit(true))
+    delta.select("doc_id")
+      .join(vsCorpus, Seq("doc_id"), "left")
+      .join(within, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_c"), "dup_corpus")
+          .when(col("dup_d"), "dup_delta")
+          .otherwise("admit").as("verdict"))
+  }
+
   /** 16-bit SimHash twin in portable arithmetic: the per-token hash is
     * the first 16 bits of its md5 (md5 is md5 in every engine), the
     * signature is the usual bit-majority vote, banding is the 4 nibbles

@@ -203,6 +203,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2) === (3L, ""))                     // empty string, never null
   }
 
+  test("delta dedup: corpus match beats within-delta keep-first, fresh admits") {
+    val c = Seq(
+      (0L, "identical boilerplate body repeated verbatim everywhere", "en", "s", 0L),
+      (1L, "some other corpus resident document with plenty of words", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Seq(
+      (100L, "identical boilerplate body repeated verbatim everywhere", "en", "s", 0L),
+      (101L, "a brand new never seen passage with its own vocabulary", "en", "s", 0L),
+      (102L, "a brand new never seen passage with its own vocabulary", "en", "s", 0L),
+      (103L, "zz", "en", "s", 0L)) // shorter than the shingle: no signature
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val verdicts = Dedup.deltaAdmit(c, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts === Map(100L -> "dup_corpus", 101L -> "admit",
+      102L -> "dup_delta", 103L -> "admit"))
+    val pairs = Dedup.deltaPairs(c, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSet === Set((100L, 0L, 16L)))
+  }
+
   test("canonicalize is transitively consistent: one keeper per chain") {
     // pair-at-a-time dropping would keep both 1 and 3 of the chain
     // 1~2, 2~3; CC canonicalization keeps exactly one (the min id)
