@@ -1417,6 +1417,23 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("dist"))
         .orderBy("vec_id")
     }),
+    // weighted shortest path over the kNN graph: portable integer edge
+    // weights from the unordered endpoint pair, 4 Bellman-Ford sweeps —
+    // exact ≤-4-hop distances, every relaxation replayed by the oracle
+    "sssp_dist" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = SimilaritySearch.neighborGraph(emb, k = 5, exact = true)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .withColumn("w", lit(1L) + pmod(
+          least(col("src"), col("dst")) * 31 +
+            greatest(col("src"), col("dst")) * 17, lit(97L)))
+      val nodes = emb.select(col("vec_id").cast("long").as("id"))
+      graft.ops.GraphRank.ssspRounds(nodes, edges,
+          nodes.where(col("id") % 97 === 0), rounds = 4)
+        .select(col("id").as("vec_id"), col("dist"))
+        .orderBy("vec_id")
+    }),
     // per-source KL divergence from the corpus token mix, exact
     // token·milli-log2 integers via the signed interpolated floor-log2
     "source_kl" -> ((s, dir) =>
@@ -1424,6 +1441,22 @@ object SparkEntry {
         .orderBy("source")),
     // semi-structured extraction: the JSON props column parsed and
     // aggregated per event type (get_json_object ↔ json_extract_string)
+    // the explicit salted join (hash-of-row salt on the skewed fact,
+    // 8x replicated order side, join on (key, salt)) must produce the
+    // EXACT plain-join rollup — the oracle runs the unsalted join, so a
+    // hash match proves the salting machinery is semantics-neutral
+    "salted_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+        col("l_extendedprice"), col("l_discount"))
+      val ords = t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.ops.SkewJoin.saltedJoin(li, ords, "okey", saltFactor = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0) + lit(0.5)).cast("long")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
     "q29_json_props" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -1574,7 +1607,39 @@ object SparkEntry {
         | FROM nodes n LEFT JOIN a$R a ON n.id = a.id ORDER BY vec_id""".stripMargin
   }
 
+  /** sssp_dist oracle: the shared kNN edge CTE symmetrized and weighted
+    * (1 + (least·31 + greatest·17) mod 97 — the same direction-symmetric
+    * integer recipe as the engine), seeds at vec_id % 97 = 0, then every
+    * Bellman-Ford sweep unrolled: settled ∪ (settled ⋈ edges relax) →
+    * per-vertex min.
+    */
+  private val ssspOracleSql: String = {
+    val R = 4
+    val head =
+      s"""$knnEdgeCtes,
+        | und AS (SELECT DISTINCT src, dst FROM (
+        |     SELECT src, dst FROM ed
+        |     UNION ALL SELECT dst AS src, src AS dst FROM ed) x
+        |   WHERE src <> dst),
+        | wed AS (SELECT src, dst,
+        |     1 + (least(src, dst) * 31 + greatest(src, dst) * 17) % 97 AS w
+        |   FROM und),
+        | a0 AS (SELECT id, 0 AS dist FROM nodes WHERE id % 97 = 0)""".stripMargin
+    val its = (1 to R).map { r =>
+      s""",
+        | a$r AS (SELECT id, min(dist) AS dist FROM (
+        |     SELECT id, dist FROM a${r - 1}
+        |     UNION ALL SELECT e.dst AS id, a.dist + e.w AS dist
+        |     FROM a${r - 1} a JOIN wed e ON e.src = a.id) x GROUP BY id)""".stripMargin
+    }.mkString
+    head + its +
+      s"""
+        | SELECT n.id AS vec_id, cast(coalesce(a.dist, -1) as bigint) AS dist
+        | FROM nodes n LEFT JOIN a$R a ON n.id = a.id ORDER BY vec_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "sssp_dist" -> ssspOracleSql,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n,
         | cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)) as bigint) AS revenue_cents
@@ -2844,6 +2909,13 @@ object SparkEntry {
         |   min(CASE WHEN cum * 100 >= n * 90 THEN bin * 50 END) AS p90_lo,
         |   min(CASE WHEN cum * 100 >= n * 99 THEN bin * 50 END) AS p99_lo
         | FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // the plain (unsalted) join — q01's integer-cents recipe, same
+    // arithmetic op order both engines
+    "salted_rollup" ->
+      """SELECT o.o_orderpriority, count(*) AS n,
+        | cast(sum(cast(floor(((l.l_extendedprice * (1.0 - l.l_discount)) * 100.0) + 0.5) as bigint)) as bigint) AS cents
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
     "q29_json_props" ->
       """SELECT event_type, count(*) AS n,
         | cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,

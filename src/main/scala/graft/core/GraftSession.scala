@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Tuned for correctness-at-scale, verified on local[N]: AQE on
   * (runtime coalesce + skew-join split — the north rule's skew handling
-  * rides on this plus explicit salting in the canonicalize stage),
+  * rides on this plus the explicit salted join in [[graft.ops.SkewJoin]]
+  * for hot-key large×large joins AQE can't pre-split),
   * shuffle partitions sized to cores (not the 200 default).
   */
 object GraftSession {

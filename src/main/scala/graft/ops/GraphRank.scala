@@ -225,6 +225,37 @@ object GraphRank {
     * settled set — frontier-sized work, never corpus², with
     * localCheckpoint truncating the iteration lineage.
     */
+  /** Weighted multi-source shortest path, Bellman-Ford style: `rounds`
+    * synchronous relaxation sweeps over INTEGER edge weights (column
+    * `w`) — after round r every shortest path of ≤ r hops is settled,
+    * so a fixed `rounds` is an exact ≤-r-hop distance labeling and
+    * unrolls into an exact oracle replay (integer sums have no
+    * accumulation-order ambiguity, unlike float weights). Unreached
+    * vertices report -1.
+    *
+    * Per round: one settled⋈edges equi-join + a (vertex) min partial
+    * agg — |reached-edges| work per sweep, never corpus², with
+    * localCheckpoint truncating the iteration lineage exactly like
+    * [[bfsLayers]]. Edges are symmetrized inside; weights must be
+    * direction-symmetric (derive from the unordered endpoint pair).
+    */
+  def ssspRounds(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+                 rounds: Int = 4): DataFrame = {
+    val und = edges.select(col("src"), col("dst"), col("w"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var dist = nodes.join(seeds, Seq("id"), "left_semi")
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = und.join(dist.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed).groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    nodes.join(dist, Seq("id"), "left")
+      .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+
   def bfsLayers(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
                 rounds: Int = 4): DataFrame = {
     val und = edges.select(col("src"), col("dst"))

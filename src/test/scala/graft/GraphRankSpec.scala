@@ -139,4 +139,20 @@ class GraphRankSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(two === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
   }
+
+  test("sssp: weighted relaxation beats the direct edge, horizon and -1 hold") {
+    // 0-1 w1, 1-2 w1, 0-2 w5 (indirect 2-hop path wins), 2-3 w1;
+    // 9 is isolated. Seed {0}, 4 rounds.
+    val nodes = Seq(0L, 1L, 2L, 3L, 9L).toDF("id")
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 5L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphRank.ssspRounds(nodes, edges, Seq(0L).toDF("id"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 9L -> -1L))
+    // one round only: the direct w5 edge is the best 1-hop answer and a
+    // second sweep improves it — the Bellman-Ford signature
+    val r1 = GraphRank.ssspRounds(nodes, edges, Seq(0L).toDF("id"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(2L) === 5L && r1(3L) === -1L)
+  }
 }
