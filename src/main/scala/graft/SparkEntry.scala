@@ -1464,7 +1464,37 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+    // PPS systematic weighted sampling: k grid points over the
+    // cumulative weight axis (two-phase distributed prefix sum); the
+    // oracle replays every pick count off its own window cumsum
+    "weighted_sample" -> ((s, dir) =>
+      graft.ops.Mixing.weightedSample(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+    // Z-order (Morton) layout: per-file min-max file-skipping stats +
+    // the pruning verdict of the 2-D benchmark predicate — the oracle
+    // replays quantization, bit interleave, file split and verdicts
+    "zorder_stats" -> ((s, dir) =>
+      graft.ops.Layout.zorderStats(t(s, dir, "events"))
+        .orderBy("file_id")),
+    // pruning effectiveness at equal file counts, z-order vs insertion
+    // order: the 2-D predicate skips most z-ordered files and almost
+    // no insertion-ordered ones — the reason to cluster at 100 TB
+    "zorder_prune" -> ((s, dir) =>
+      graft.ops.Layout.zorderPrune(t(s, dir, "events"))
+        .orderBy("layout")),
+    // bucketed co-located join (zero exchange / zero sort on the join,
+    // LayoutSpec pins the plan) — hash-identical to the oracle's plain
+    // join, so the bucketed layout is proven semantics-neutral
+    "bucket_join" -> ((s, dir) =>
+      graft.ops.Layout.bucketedRollup(s, t(s, dir, "orders"),
+        t(s, dir, "customer"), tag = dir.replaceAll("[^A-Za-z0-9]", "_"))),
+    // SCD2 dimension history folded from the purchase change stream:
+    // no-change touches collapsed, inclusive interval chaining, NULL
+    // open end on the current row
+    "scd2_history" -> ((s, dir) =>
+      graft.ops.Temporal.scd2History(t(s, dir, "events"))
+        .orderBy("user_id", "valid_from_us", "cents"))
   )
 
   /** Shared CTE chain of the HLL oracles: register = first md5 hex byte
@@ -2921,8 +2951,110 @@ object SparkEntry {
         | cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
         | min(cast(json_extract_string(props, '$.k') as bigint)) AS min_k,
         | max(cast(json_extract_string(props, '$.k') as bigint)) AS max_k
-        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // PPS systematic sampling replayed off the window cumsum: every
+    // division has a CASE-guarded nonnegative numerator, where
+    // DuckDB's // and Spark's div agree exactly
+    "weighted_sample" ->
+      """WITH w AS (SELECT doc_id, cast(n_chars as bigint) AS weight
+        |   FROM documents WHERE n_chars > 0),
+        | c AS (SELECT doc_id, weight, coalesce(sum(weight) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off FROM w),
+        | p AS (SELECT sum(weight) // 100 AS step, (sum(weight) // 100) // 2 AS phase FROM w)
+        |SELECT doc_id, weight, cast(start_off as bigint) AS start_off,
+        |  cast(n_picks as bigint) AS n_picks FROM (
+        | SELECT doc_id, weight, start_off,
+        |   greatest(least(CASE WHEN start_off + weight <= phase THEN 0
+        |       ELSE (start_off + weight - 1 - phase) // step + 1 END, 100)
+        |     - CASE WHEN start_off <= phase THEN 0
+        |       ELSE (start_off - phase + step - 1) // step END, 0) AS n_picks
+        | FROM c, p) q WHERE n_picks > 0 ORDER BY doc_id""".stripMargin,
+    "zorder_stats" -> zorderStatsOracleSql,
+    "zorder_prune" -> zorderPruneOracleSql,
+    // the plain (unbucketed) join — the hash match proves the bucketed
+    // co-located layout on the Spark side is semantics-neutral
+    "bucket_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | cast(sum(cast(floor((o_totalprice * 100.0) + 0.5) as bigint)) as bigint) AS cents
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SCD2: WHERE filters the touch rows BEFORE the lead window runs
+    // (standard SQL evaluation order) — identical to the Spark plan's
+    // filter-then-window
+    "scd2_history" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |     cast(floor((value * 100.0) + 0.5) as bigint) AS cents
+        |   FROM events WHERE event_type = 'purchase'),
+        | d AS (SELECT *, lag(cents) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS prev FROM p)
+        |SELECT user_id, cents, valid_from_us, valid_to_us,
+        |  CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM (SELECT user_id, cents, ts_us AS valid_from_us,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - 1 AS valid_to_us
+        |  FROM d WHERE prev IS NULL OR prev <> cents) h
+        |ORDER BY user_id, valid_from_us, cents""".stripMargin
   )
+
+  /** Shared z-order oracle CTEs: quantize both dimensions to 6 bits off
+    * the fitted min/span frame, interleave with explicit shift/mask
+    * terms, split the curve into files of 16 z-values, and derive the
+    * integer-percent pruning bounds — the exact arithmetic of
+    * [[graft.ops.Layout]].
+    */
+  private def zorderCtes: String =
+    """WITH b AS (SELECT cast(event_id as bigint) AS event_id,
+      |    cast(user_id as bigint) AS user_id, epoch_us(ts) AS ts_us FROM events),
+      | f AS (SELECT min(user_id) AS fmin_u, max(user_id) - min(user_id) + 1 AS span_u,
+      |    min(ts_us) AS fmin_t, max(ts_us) - min(ts_us) + 1 AS span_t,
+      |    min(event_id) AS fmin_e, max(event_id) - min(event_id) + 1 AS span_e FROM b),
+      | q AS (SELECT event_id, user_id, ts_us,
+      |    ((user_id - fmin_u) * 64) // span_u AS qx,
+      |    ((ts_us - fmin_t) * 64) // span_t AS qy FROM b, f),
+      | z AS (SELECT user_id, ts_us,
+      |    ((((qx >> 0) & 1) << 0) + (((qy >> 0) & 1) << 1)
+      |     + (((qx >> 1) & 1) << 2) + (((qy >> 1) & 1) << 3)
+      |     + (((qx >> 2) & 1) << 4) + (((qy >> 2) & 1) << 5)
+      |     + (((qx >> 3) & 1) << 6) + (((qy >> 3) & 1) << 7)
+      |     + (((qx >> 4) & 1) << 8) + (((qy >> 4) & 1) << 9)
+      |     + (((qx >> 5) & 1) << 10) + (((qy >> 5) & 1) << 11)) >> 4 AS file_id
+      |   FROM q),
+      | g AS (SELECT fmin_u + (span_u * 40) // 100 AS u_lo,
+      |    fmin_u + (span_u * 50) // 100 AS u_hi,
+      |    fmin_t + (span_t * 30) // 100 AS t_lo,
+      |    fmin_t + (span_t * 45) // 100 AS t_hi FROM f),
+      | zs AS (SELECT file_id, count(*) AS n, min(user_id) AS min_u,
+      |    max(user_id) AS max_u, min(ts_us) AS min_t, max(ts_us) AS max_t
+      |   FROM z GROUP BY 1)""".stripMargin
+
+  private def zorderStatsOracleSql: String =
+    zorderCtes +
+      """
+        |SELECT cast(file_id as bigint) AS file_id, cast(n as bigint) AS n,
+        |  min_u, max_u, min_t, max_t,
+        |  CASE WHEN max_u < u_lo OR min_u > u_hi OR max_t < t_lo OR min_t > t_hi
+        |    THEN 0 ELSE 1 END AS survives
+        |FROM zs, g ORDER BY file_id""".stripMargin
+
+  private def zorderPruneOracleSql: String =
+    zorderCtes +
+      """,
+        | l AS (SELECT ((event_id - fmin_e) * 256) // span_e AS file_id,
+        |    user_id, ts_us FROM b, f),
+        | ls AS (SELECT file_id, count(*) AS n, min(user_id) AS min_u,
+        |    max(user_id) AS max_u, min(ts_us) AS min_t, max(ts_us) AS max_t
+        |   FROM l GROUP BY 1),
+        | zv AS (SELECT n, CASE WHEN max_u < u_lo OR min_u > u_hi
+        |     OR max_t < t_lo OR min_t > t_hi THEN 0 ELSE 1 END AS sv FROM zs, g),
+        | lv AS (SELECT n, CASE WHEN max_u < u_lo OR min_u > u_hi
+        |     OR max_t < t_lo OR min_t > t_hi THEN 0 ELSE 1 END AS sv FROM ls, g)
+        |SELECT layout, files_total, files_scanned, rows_total, rows_scanned FROM (
+        |  SELECT 'zorder' AS layout, cast(count(*) as bigint) AS files_total,
+        |    cast(sum(sv) as bigint) AS files_scanned, cast(sum(n) as bigint) AS rows_total,
+        |    cast(sum(CASE WHEN sv = 1 THEN n ELSE 0 END) as bigint) AS rows_scanned FROM zv
+        |  UNION ALL
+        |  SELECT 'linear', cast(count(*) as bigint), cast(sum(sv) as bigint),
+        |    cast(sum(n) as bigint), cast(sum(CASE WHEN sv = 1 THEN n ELSE 0 END) as bigint) FROM lv
+        |) u ORDER BY layout""".stripMargin
 
   /** fingerprints oracle: the same base-31 polynomial k-gram hash
     * (k = 8, window = 4) as TextAnalysis.fingerprints, spelled out as

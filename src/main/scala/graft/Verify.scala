@@ -18,6 +18,8 @@ object Verify {
       // same rationale as GraftSession: constraint propagation is
       // superlinear on the wide-alias kNN plans and stalls the driver
       .config("spark.sql.constraintPropagation.enabled", "false")
+      // trust single-file-per-bucket sortBy metadata (Layout.bucketedRollup)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

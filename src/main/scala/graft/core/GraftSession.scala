@@ -61,6 +61,13 @@ object GraftSession {
       // MB, well inside the executor budget (1M was tried: same wall,
       // more GC).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // report bucketed scans' sortBy ordering to the planner (only
+      // trusted when a bucket is a single file — Layout.bucketedRollup
+      // writes exactly that), so a bucketed co-located join needs no
+      // Exchange AND no Sort. Off by default since SPARK-28595 because
+      // multi-file buckets would need a merge-sort read; our layout op
+      // guarantees one file per bucket by pre-repartitioning on the key.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -152,6 +152,54 @@ object Mixing {
       .select(col("doc_id"), col("shuffle_key"), col("pos"))
   }
 
+  /** Probability-proportional-to-size systematic sampling: k
+    * deterministic grid points p_j = phase + j·step (step = totalW div
+    * k, phase = step div 2) are laid over the corpus's cumulative
+    * weight axis, and a document is drawn once per grid point inside
+    * its weight interval [start, start+w) — the classic PPS systematic
+    * design (heavier docs proportionally likelier, a doc heavier than
+    * `step` draws multiple picks), made exactly reproducible: no RNG,
+    * pure int64 arithmetic, Σ n_picks == k by construction.
+    *
+    * Scale shape: the cumulative offsets are [[shardPack]]'s two-phase
+    * distributed prefix sum (bucketed partial totals, one tiny
+    * bucket-offset window, intra-bucket cumsum); the grid-point count
+    * per doc is then a pure map expression. The only driver scalar is
+    * the total weight — one row off the already-bucketed totals table.
+    */
+  def weightedSample(docs: DataFrame, k: Long = 100L,
+                     bucketWidth: Long = 64L): DataFrame = {
+    val w = docs.select(col("doc_id"), col("n_chars").cast("long").as("weight"),
+        expr(s"doc_id div $bucketWidth").as("bucket"))
+      .where(col("weight") > 0)
+    val btoks = w.groupBy("bucket").agg(sum("weight").as("bw"))
+    val offsets = btoks.withColumn("offset", coalesce(
+        sum("bw").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    val total = btoks.agg(sum("bw")).head.getLong(0)
+    val step = total / k
+    require(step > 0, s"corpus weight $total must be at least k=$k")
+    val phase = step / 2
+    val intra = Window.partitionBy("bucket").orderBy("doc_id")
+    // grid points inside [start, start+w): j_lo = ceil((start-phase)/step)
+    // clamped at 0, j_hi = floor((start+w-1-phase)/step)+1 clamped at k —
+    // every division has a nonnegative numerator (CASE-guarded), where
+    // Spark's `div` and DuckDB's `//` agree exactly.
+    w.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start_off",
+        col("offset") + sum("weight").over(intra) - col("weight"))
+      .withColumn("j_lo", when(col("start_off") <= phase, 0L)
+        .otherwise(expr(s"(start_off - $phase + $step - 1) div $step")))
+      .withColumn("j_hi", least(
+        when(col("start_off") + col("weight") <= phase, lit(0L))
+          .otherwise(expr(s"((start_off + weight - 1 - $phase) div $step) + 1")),
+        lit(k)))
+      .withColumn("n_picks", greatest(col("j_hi") - col("j_lo"), lit(0L)))
+      .where(col("n_picks") > 0)
+      .select("doc_id", "weight", "start_off", "n_picks")
+  }
+
   /** Deterministic train/validation/test split, keyed on the CONTENT
     * hash (portable md5 bucket), not the row id: byte-identical
     * documents land in the same split by construction, so exact

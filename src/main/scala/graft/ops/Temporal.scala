@@ -163,4 +163,37 @@ object Temporal {
             col("c_pts") - col("c_ts") <= windowUs, 1L).otherwise(0L))
           .as("n_converted"))
   }
+
+  /** Slowly-changing-dimension type-2 history: fold a change stream
+    * (each purchase event sets the user's current value) into validity
+    * intervals — (user_id, cents, valid_from_us, valid_to_us,
+    * is_current), with runs of the UNCHANGED value collapsed (true SCD2
+    * records changes, not touches) and half-open interval chaining
+    * rendered inclusive as `valid_to_us = next_from - 1`; the open
+    * current row keeps a NULL valid_to. This is the batch twin of the
+    * triple ledger's AS-OF snapshot ([[graft.materialize.Upsert]]):
+    * the ledger answers "the graph at time T", this materializes every
+    * entity's full validity timeline as a table.
+    *
+    * Plan shape: two window passes over the SAME (user_id → ts, id)
+    * partitioning and order — one `lag` to drop no-change touches, one
+    * `lead` to chain intervals — so Catalyst plans a single shuffle +
+    * sort; per-user work is linear and AQE skew-split applies to hot
+    * users. Integer-cent values and epoch-micro bounds keep every
+    * column on the cross-engine determinism contract.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val base = events.where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("event_id"),
+        expr("cast(floor(value * 100.0D + 0.5D) as bigint)").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base.withColumn("prev", lag("cents", 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("cents"))
+      .withColumn("valid_to_us", lead("ts_us", 1).over(w) - 1L)
+      .select(col("user_id"), col("cents"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.cast("int").as("is_current"))
+  }
 }

@@ -114,4 +114,31 @@ class MixingSpec extends AnyFunSuite {
     assert(skew("A") === ((3L, 166L)))
     assert(skew("B") === ((3L, 166L)))
   }
+
+  test("weightedSample: exactly k picks, PPS-bounded, bucketWidth-invariant") {
+    val docs = (0L until 150L).map(i => (i, 1L + (i * 7) % 23))
+      .toDF("doc_id", "n_chars")
+    val k = 40L
+    val a = Mixing.weightedSample(docs, k = k, bucketWidth = 11L)
+      .orderBy("doc_id").collect()
+    val b = Mixing.weightedSample(docs, k = k, bucketWidth = 100000L)
+      .orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq, "two-phase prefix sum must be width-invariant")
+    // systematic PPS: the grid places exactly k points inside [0, total)
+    assert(a.map(_.getAs[Long]("n_picks")).sum === k)
+    // per-doc picks are bounded by the interval/step ratio
+    val total = (0L until 150L).map(i => 1L + (i * 7) % 23).sum
+    val step = total / k
+    a.foreach { r =>
+      val (w, n) = (r.getAs[Long]("weight"), r.getAs[Long]("n_picks"))
+      assert(n >= 1L && n <= w / step + 1L)
+    }
+    // start offsets are the exact cumulative weights in doc_id order
+    val byId = a.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("start_off")).toMap
+    var cum = 0L
+    (0L until 150L).foreach { i =>
+      byId.get(i).foreach(s => assert(s === cum))
+      cum += 1L + (i * 7) % 23
+    }
+  }
 }

@@ -62,10 +62,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // partial-agg row per partition, never the corpus.
     // ppjoin_pairs' global rarity-rank window touches one row per
     // VOCAB entry after the df partial agg — shard_pack's bounded
-    // argument again
+    // argument again. weighted_sample shares shard_pack's two-phase
+    // prefix sum (one row per bucket on the single partition);
+    // zorder_prune's global fold aggregates one row per FILE (≤256)
+    // after the per-file partial agg.
     val offenders = batchNames.filterNot(
       Set("shard_pack", "seq_pack", "corpus_shuffle", "hll_distinct",
-        "bottomk_distinct", "ppjoin_pairs"))
+        "bottomk_distinct", "ppjoin_pairs", "weighted_sample",
+        "zorder_prune"))
       .filter(n => plan(n).contains("SinglePartition"))
     assert(offenders.isEmpty,
       s"unexpected single-partition exchange in: ${offenders.mkString(", ")}")

@@ -125,4 +125,35 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === naive)
     assert(got.nonEmpty)
   }
+
+  test("scd2: touches collapse, intervals chain, one open row per user") {
+    val ev = events(
+      (1L, 100L, 1L, "purchase", 5.0),
+      (2L, 200L, 1L, "purchase", 5.0), // same value: a touch, collapsed
+      (3L, 300L, 1L, "purchase", 7.5),
+      (4L, 400L, 1L, "purchase", 5.0), // value may recur in a new interval
+      (5L, 100L, 2L, "purchase", 1.0),
+      (6L, 150L, 1L, "click", 9.9)) // non-purchase events never versioned
+    val h = Temporal.scd2History(ev)
+      .orderBy("user_id", "valid_from_us").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cents"),
+        r.getAs[Long]("valid_from_us"), Option(r.get(3)).map(_.toString.toLong),
+        r.getAs[Int]("is_current")))
+    val us = 1000000L
+    assert(h.toSeq === Seq(
+      (1L, 500L, 100L * us, Some(300L * us - 1), 0),
+      (1L, 750L, 300L * us, Some(400L * us - 1), 0),
+      (1L, 500L, 400L * us, None, 1),
+      (2L, 100L, 100L * us, None, 1)))
+    // chain invariant: within a user, valid_to + 1 == next valid_from,
+    // and exactly one open (is_current) row
+    h.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3 - 1))
+        case _ =>
+      }
+      assert(rows.count(_._5 == 1) === 1)
+      assert(rows.last._4.isEmpty)
+    }
+  }
 }
