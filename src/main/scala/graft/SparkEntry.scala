@@ -210,6 +210,45 @@ object SparkEntry {
       | FROM applied GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** MMR oracle: candidate pool (round-6 cosine top-`pool`), pairwise
+    * round-6 sims, then the k greedy steps UNROLLED as a CTE chain
+    * (bpe_merges' discipline) — step i picks the argmax of
+    * 0.7·rel − 0.3·max(sim to s1..s(i-1)), ties by vec_id. DuckDB's
+    * `list_cosine_similarity` is bit-identical to the engine's
+    * dot/(√·√) left-to-right fold, and 0.7e0/0.3e0 are double literals,
+    * so every score double matches the engine's exactly.
+    */
+  private def annMmrOracleSql(k: Int, pool: Int): String = {
+    // MATERIALIZED: the unrolled chain references c/sim/s_j many times;
+    // inlined CTEs would re-open the parquet per reference and exhaust
+    // the process file-handle budget
+    val base =
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+         | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         | c AS MATERIALIZED (SELECT e.vec_id, e.v,
+         |     round(list_cosine_similarity(e.v, q.qv), 6) AS rel
+         |   FROM e, q WHERE e.vec_id <> 0
+         |   ORDER BY rel DESC, e.vec_id LIMIT $pool),
+         | sim AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b,
+         |     round(list_cosine_similarity(a.v, b.v), 6) AS s
+         |   FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+         | s1 AS MATERIALIZED (SELECT vec_id, rel, rel AS score FROM c
+         |   ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val sel = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      s""",
+         | s$i AS MATERIALIZED (SELECT c.vec_id, c.rel,
+         |     0.7e0 * c.rel - 0.3e0 * (SELECT max(s.s) FROM sim s
+         |       WHERE s.a = c.vec_id AND s.b IN ($sel)) AS score
+         |   FROM c WHERE c.vec_id NOT IN ($sel)
+         |   ORDER BY score DESC, c.vec_id LIMIT 1)""".stripMargin
+    }.mkString
+    val out = (1 to k).map(i =>
+      s" SELECT cast($i as bigint) AS mmr_rank, vec_id, rel AS relevance," +
+        s" score AS mmr_score FROM s$i").mkString("\n UNION ALL\n")
+    s"$base$steps\n$out\n ORDER BY mmr_rank"
+  }
+
   val tableDefectLabels = Seq("marine_growth", "corrosion", "paint_peel", "defect")
 
   /** Root ancestor in the HAS tree (transitive closure of the 25-row
@@ -493,6 +532,17 @@ object SparkEntry {
         .select(expr("transform(embedding, x -> cast(x as double))"))
         .collect()(0).getSeq[Double](0).toArray
       SimilaritySearch.bruteForceTopK(emb.where(col("vec_id") =!= 0), q, 20)
+    }),
+
+    // MMR diversified re-ranking over the exact top-24 candidate pool:
+    // the greedy λ·rel − (1−λ)·maxsim selection, oracle-replayed step
+    // for step (unrolled CTE chain, bpe_merges' discipline)
+    "ann_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      SimilaritySearch.mmrTopK(emb.where(col("vec_id") =!= 0), q, k = 10, pool = 24)
     }),
 
     "knn_graph" -> ((s, dir) =>
@@ -1081,6 +1131,20 @@ object SparkEntry {
     "segment_dedup" -> ((s, dir) =>
       graft.ops.Repetition.segmentDedup(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // cross-source duplicate-overlap matrix: shared 10-word segments per
+    // source pair + integer-permille Jaccard (provenance audit before
+    // source mixing); only pairs sharing >= 1 segment appear
+    "source_overlap" -> ((s, dir) =>
+      graft.ops.Repetition.sourceOverlap(t(s, dir, "documents"))),
+    // dedup growth curve: cumulative total vs first-occurrence segments
+    // per 50-doc batch — the diminishing-returns curve of new content
+    "dedup_growth" -> ((s, dir) =>
+      graft.ops.Repetition.dedupGrowth(t(s, dir, "documents"))),
+    // inverted-index build: (term, doc_id, tf, df) postings, the batch
+    // index-construction job behind bm25_topk's serving path
+    "inverted_index" -> ((s, dir) =>
+      graft.ops.Retrieval.invertedIndex(t(s, dir, "documents"))
+        .orderBy("term", "doc_id")),
     // near-dup canonicalization end-step: CC over exact verified pairs
     // (3-gram Jaccard >= 0.1 among all doc_id < 200 pairs — the same
     // deterministic candidate recipe as ngram_jaccard/fuzzy_link), one
@@ -2647,6 +2711,50 @@ object SparkEntry {
         |  cast(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_segments,
         |  round(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
         | FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // all integers: distinct shared segments per source pair + permille
+    // Jaccard with a truncating div — bit-exact cross-engine
+    "source_overlap" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+        | i AS (SELECT source, words, unnest(generate_series(1,
+        |     cast(ceil(len(words) / 10.0) as bigint))) AS i FROM d),
+        | seg AS (SELECT DISTINCT source,
+        |     array_to_string(words[(i-1)*10+1:(i-1)*10+10], ' ') AS seg FROM i),
+        | sizes AS (SELECT source, count(*) AS n FROM seg GROUP BY 1),
+        | sh AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |   FROM seg a JOIN seg b ON a.seg = b.seg AND a.source < b.source
+        |   GROUP BY 1, 2)
+        | SELECT sh.src_a, sh.src_b, sh.n_shared, sa.n AS n_a, sb.n AS n_b,
+        |  cast(sh.n_shared * 1000 // (sa.n + sb.n - sh.n_shared) as bigint)
+        |    AS jaccard_permille
+        | FROM sh JOIN sizes sa ON sh.src_a = sa.source
+        | JOIN sizes sb ON sh.src_b = sb.source
+        | ORDER BY 1, 2""".stripMargin,
+    // segment first-occurrence rank (segment_dedup's keeper rule) →
+    // per-50-doc-batch counts → running sums; integers only
+    "dedup_growth" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        | i AS (SELECT doc_id, words, unnest(generate_series(1,
+        |     cast(ceil(len(words) / 10.0) as bigint))) AS i FROM d),
+        | s AS (SELECT doc_id, i - 1 AS pos,
+        |     array_to_string(words[(i-1)*10+1:(i-1)*10+10], ' ') AS seg FROM i),
+        | r AS (SELECT doc_id, CASE WHEN row_number() OVER
+        |     (PARTITION BY seg ORDER BY doc_id, pos) = 1 THEN 1 ELSE 0 END AS f FROM s),
+        | b AS (SELECT doc_id // 50 AS bucket, count(*) AS ns,
+        |     sum(f) AS nf FROM r GROUP BY 1),
+        | c AS (SELECT bucket, sum(ns) OVER (ORDER BY bucket) AS segs_cum,
+        |     sum(nf) OVER (ORDER BY bucket) AS uniq_cum FROM b)
+        | SELECT bucket, cast(segs_cum as bigint) AS segs_cum,
+        |  cast(uniq_cum as bigint) AS uniq_cum,
+        |  cast((segs_cum - uniq_cum) * 1000 // segs_cum as bigint) AS dup_permille
+        | FROM c ORDER BY bucket""".stripMargin,
+    // strings + int64 counts, no rounding anywhere
+    "inverted_index" ->
+      """WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |   FROM documents),
+        | p AS (SELECT term, doc_id, count(*) AS tf FROM occ GROUP BY 1, 2)
+        | SELECT term, doc_id, tf, count(*) OVER (PARTITION BY term) AS df
+        | FROM p ORDER BY term, doc_id""".stripMargin,
+    "ann_mmr" -> annMmrOracleSql(10, 24),
     // element-order list_sum mirrors sq_dist's index-order accumulation;
     // 1.25*1.25 is exact in binary on both engines
     "q26_dbscan" ->

@@ -101,12 +101,18 @@ object Repetition {
     * that key, which AQE's skew-join/agg split absorbs (the per-key
     * state is a single running rank, never a buffered group).
     */
+  /** Consecutive `segWords`-word tiles of a `words` array column, as
+    * strings; the trailing tile truncates (`slice` stops at the array
+    * end, same as the oracle's inclusive list slice).
+    */
+  private def tileExpr(segWords: Int): String =
+    s"transform(sequence(0, cast(ceil(size(words) / ${segWords}.0D) as int) - 1), " +
+      s"i -> array_join(slice(words, i * $segWords + 1, $segWords), ' '))"
+
   def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
     val segs = docs
       .select(col("doc_id"), words(col("text")).as("words"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, cast(ceil(size(words) / ${segWords}.0D) as int) - 1), " +
-          s"i -> array_join(slice(words, i * $segWords + 1, $segWords), ' '))")))
+      .select(col("doc_id"), posexplode(expr(tileExpr(segWords))))
       .toDF("doc_id", "pos", "seg")
     val ranked = segs.withColumn("occ",
       row_number().over(Window.partitionBy("seg").orderBy("doc_id", "pos")))
@@ -121,4 +127,79 @@ object Repetition {
   private[graft] def segmentDedupRaw(docs: DataFrame, segWords: Int = 10): DataFrame =
     segmentDedup(docs, segWords).select(col("doc_id"),
       (col("n_dup_segments") / col("n_segments")).as("dup_frac"))
+
+  /** Cross-source duplicate-overlap matrix: for every pair of sources,
+    * how many distinct `segWords`-word segments they SHARE, with each
+    * side's distinct-segment count and the integer-permille Jaccard —
+    * the contamination/provenance audit a curation team runs before
+    * mixing sources (a crawl snapshot that is 30% segment-identical to
+    * another is a dedup problem, not a new source).
+    *
+    * All integer arithmetic (counts + one truncating `div`) — bit-exact
+    * cross-engine. Scale shape: explode → distinct (source, segment)
+    * (partial-agg collapses repeats map-side) → one segment-keyed
+    * equi-join whose per-key fanout is bounded by |sources|² (sources
+    * are a dimension, never the corpus), then a (src_a, src_b)
+    * partial-agg count. Hot boilerplate segments skew the segment key;
+    * AQE's skew split absorbs it. At 100 TB the join key would be the
+    * segment digest (same shape, smaller shuffle).
+    */
+  def sourceOverlap(docs: DataFrame, segWords: Int = 10): DataFrame = {
+    val segs = docs
+      .select(col("source"), words(col("text")).as("words"))
+      .select(col("source"), explode(expr(tileExpr(segWords))).as("seg"))
+      .distinct()
+      // self-joined below: truncate the plan so the distinct runs once,
+      // not once per join side (CLAUDE.md self-join rule)
+      .localCheckpoint(true)
+    val sizes = segs.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = segs.toDF("src_a", "seg")
+      .join(segs.toDF("src_b", "seg2"), col("seg") === col("seg2"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.toDF("src_a", "n_a")), "src_a")
+      .join(broadcast(sizes.toDF("src_b", "n_b")), "src_b")
+      .withColumn("jaccard_permille",
+        expr("n_shared * 1000L div (n_a + n_b - n_shared)"))
+      .select("src_a", "src_b", "n_shared", "n_a", "n_b", "jaccard_permille")
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Dedup growth curve: cut the corpus into `bucketDocs`-document
+    * batches in doc_id order and report, at each batch boundary, the
+    * cumulative segment count, the cumulative count of FIRST-occurrence
+    * segments (first by (doc_id, position), [[segmentDedup]]'s keeper
+    * rule), and the duplicate rate in integer permille — the
+    * diminishing-returns curve that tells a corpus team how much NEW
+    * content each additional crawl batch actually contributes.
+    *
+    * Integer outputs only — bit-exact cross-engine. Scale shape: the
+    * same segment-keyed first-occurrence rank as [[segmentDedup]], a
+    * bucket partial-agg (one row per batch survives), then a running
+    * sum over the bounded bucket table — shard_pack's two-phase
+    * prefix-sum argument: the SinglePartition exchange carries one row
+    * per BATCH, never the corpus.
+    */
+  def dedupGrowth(docs: DataFrame, segWords: Int = 10,
+                  bucketDocs: Long = 50): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), words(col("text")).as("words"))
+      .select(col("doc_id"), posexplode(expr(tileExpr(segWords))))
+      .toDF("doc_id", "pos", "seg")
+    val ranked = segs.withColumn("occ",
+      row_number().over(Window.partitionBy("seg").orderBy("doc_id", "pos")))
+    val perBucket = ranked
+      .groupBy(expr(s"doc_id div ${bucketDocs}L").as("bucket"))
+      .agg(count(lit(1)).as("ns"),
+        sum(when(col("occ") === 1, 1L).otherwise(0L)).as("nf"))
+    val cum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("segs_cum", sum("ns").over(cum))
+      .withColumn("uniq_cum", sum("nf").over(cum))
+      .select(col("bucket"), col("segs_cum"), col("uniq_cum"),
+        expr("(segs_cum - uniq_cum) * 1000L div segs_cum").as("dup_permille"))
+      .orderBy("bucket")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyword retrieval over the corpus: top-k documents for a bag of
@@ -64,5 +65,29 @@ object Retrieval {
       .agg(sum("contrib").as("score_micro"))
       .orderBy(desc("score_micro"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** Inverted-index build: one posting row per (term, doc_id) with the
+    * term frequency, plus the term's document frequency — the batch
+    * index-construction job behind [[bm25TopK]]-style serving (in
+    * production the postings write out bucketed/sorted by term so a
+    * query is one bucket-pruned read; here the rows are emitted flat
+    * for the oracle gate).
+    *
+    * Everything is strings and int64 counts — bit-exact cross-engine,
+    * no rounding boundary. Scale shape: map-side explode → (term,
+    * doc_id) partial-agg tf (map-side combine collapses within-document
+    * repeats before the shuffle) → ONE term-keyed window for df over
+    * the already-aggregated postings. Stopword-grade hot terms skew the
+    * term key; the window state is a single running count (no buffered
+    * group) and AQE's skew split applies to the exchange.
+    */
+  def invertedIndex(docs: DataFrame): DataFrame = {
+    val postings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .select(col("term"), col("doc_id"), col("tf"), col("df"))
   }
 }

@@ -427,6 +427,76 @@ object SimilaritySearch {
     *
     * Output: (vec_id, dim, value) rows, pca_reduce's exploded shape.
     */
+  /** MMR (maximal-marginal-relevance) diversified re-ranking: fetch the
+    * `pool` exact-cosine-nearest candidates, then greedily pick k of
+    * them, each step maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-picked — the standard serving-side answer to "the top-10
+    * are 10 copies of the same document" (Carbonell & Goldstein '98;
+    * reference anchor: the exact KDTree neighbor fetch of
+    * similarity_pipeline.py:153-157 is the undiversified stage 1).
+    *
+    * Scale split: stage 1 (candidate fetch) is the distributed scan →
+    * codegen cosine → TakeOrderedAndProject — the corpus-sized work.
+    * Stage 2 is the k-step greedy over the `pool`-row buffer, which is
+    * inherently sequential and O(k·pool) — it runs driver-side exactly
+    * as a serving node would run it per query (same bounded-collect
+    * discipline as the centroid/vocab fits).
+    *
+    * Cross-engine determinism: relevances and pairwise similarities are
+    * round-6 cosines via the dot/(√·√) left-to-right fold (DuckDB's
+    * `list_cosine_similarity` is bit-identical to that form — verified,
+    * and OracleMarginSpec audits the round-6 grid margins); λ enters as
+    * exact centi-integers so both engines score with the identical
+    * doubles `0.7·rel − 0.3·maxsim`, and ties break by vec_id. The
+    * DuckDB oracle replays the greedy step for step.
+    */
+  def mmrTopK(embeddings: DataFrame, query: Array[Double], k: Int = 10,
+              pool: Int = 24, lambdaCenti: Int = 70): DataFrame = {
+    val v = expr("transform(embedding, x -> cast(x as double))")
+    val cands = embeddings
+      .select(col("vec_id"), v.as("vec"))
+      .withColumn("rel", round(cosine(col("vec"), lit(query)), 6))
+      .orderBy(desc("rel"), asc("vec_id"))
+      .limit(pool)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+    // driver-side arithmetic replays the engine's exactly: left-to-right
+    // dot fold (VectorExprs order), dot/(sqrt·sqrt), BigDecimal HALF_UP
+    // round-6 (Spark's round semantics)
+    def dotLR(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos6(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(dotLR(a, b) / (math.sqrt(dotLR(a, a)) * math.sqrt(dotLR(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val lam = lambdaCenti / 100.0
+    val omLam = (100 - lambdaCenti) / 100.0
+    val vecOf = cands.map(c => c._1 -> c._2).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(cands.map(c => c._1 -> c): _*)
+    while (selected.length < math.min(k, cands.length)) {
+      val best = remaining.values.map { case (id, vec, rel) =>
+        val score =
+          if (selected.isEmpty) rel
+          else lam * rel - omLam * selected.map(s0 => cos6(vec, vecOf(s0._1))).max
+        (id, rel, score)
+      }.minBy { case (id, _, score) => (-score, id) }
+      selected += best
+      remaining.remove(best._1)
+    }
+
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, rel, score), i) => (i + 1L, id, rel, score) }
+      .toDF("mmr_rank", "vec_id", "relevance", "mmr_score")
+  }
+
   def rpReduce(embeddings: DataFrame, dims: Int = 8): DataFrame = {
     val planes = portablePlanes(dims, 64, prefix = "rp_")
     embeddings

@@ -153,6 +153,35 @@ class AnnSpec extends AnyFunSuite {
     assert(again.map(_.getLong(0)).toSeq === got.map(_.getLong(0)).toSeq)
   }
 
+  test("MMR re-ranking trades duplicate relevance for diversity") {
+    import spark.implicits._
+    // near-duplicate pair (1, 2) outranks the diverse pair (3, 4) on
+    // relevance alone, but MMR at λ=0.7 must interleave: after picking
+    // 1, its near-copy 2 scores 0.7·0.90 − 0.3·0.999 ≈ 0.33 while the
+    // orthogonal-tail 3/4 score 0.7·0.85 − 0.3·0.785 ≈ 0.36
+    val q = Array(1.0, 0.0, 0.0, 0.0)
+    val df = Seq(
+      (1L, Seq(0.92f, 0.39f, 0f, 0f), 0),    // rel ≈ 0.921
+      (2L, Seq(0.90f, 0.43f, 0.02f, 0f), 0), // rel ≈ 0.902, sim(1,2) ≈ 0.999
+      (3L, Seq(0.85f, 0f, 0.52f, 0f), 0),    // rel ≈ 0.853, sim to 1 ≈ 0.785
+      (4L, Seq(0.85f, 0f, 0f, 0.52f), 0),    // rel ≈ 0.853, diverse from 3 too
+      (5L, Seq(0f, 1f, 0f, 0f), 0)           // padding, never selected
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimilaritySearch.mmrTopK(df, q, k = 4, pool = 5).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L), "ranks 1..k")
+    assert(got.map(_.getLong(1)).toSeq === Seq(1L, 3L, 4L, 2L),
+      s"MMR order was ${got.map(_.getLong(1)).toSeq}")
+    // rank 1 is the undiversified argmax: score == relevance
+    assert(got(0).getDouble(2) === got(0).getDouble(3))
+    // relevance-only ranking WOULD have kept the near-copy at rank 2
+    val plain = SimilaritySearch.bruteForceTopK(df, q, 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(plain === Seq(1L, 2L, 3L, 4L))
+    val again = SimilaritySearch.mmrTopK(df, q, k = 4, pool = 5).collect()
+    assert(again.map(r => (r.getLong(1), r.getDouble(3))).toSeq ===
+      got.map(r => (r.getLong(1), r.getDouble(3))).toSeq, "must be deterministic")
+  }
+
   test("portable LSH: self-bucket probe, sorted exact distances, deterministic") {
     val got = SimilaritySearch.lshTopKPortable(rest, query, 20).collect()
     assert(got.nonEmpty && got.length <= 20)

@@ -153,6 +153,29 @@ class OracleMarginSpec extends AnyFunSuite {
       "an emitted ANN value sits on the round-6 grid boundary")
   }
 
+  test("ann_mmr: candidate-pool cosines keep round-6 margins; greedy is arithmetic-identical") {
+    // The MMR gate's cross-engine inputs are the round-6 relevances
+    // (covered by the portable-ANN r6 cosine audit over the whole
+    // corpus) and the round-6 PAIRWISE pool cosines — audited here.
+    // Everything downstream (0.7·rel − 0.3·maxsim, argmax, vec_id
+    // ties) is IDENTICAL IEEE arithmetic over those rounded doubles on
+    // both engines, so no score/tie margin is needed (q25's
+    // identical-arithmetic argument); the pool cut itself is safe even
+    // on a rounded-rel tie because both engines break it by vec_id.
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("v")).collect()(0).getSeq[Double](0).toArray
+    val pool = emb.where(col("vec_id") =!= 0)
+      .withColumn("rel", round(SimilaritySearch.cosine(col("v"), lit(query)), 6))
+      .orderBy(desc("rel"), asc("vec_id")).limit(24)
+      .select(col("vec_id"), col("v")).localCheckpoint(true)
+    val m = pool.select(col("vec_id").as("a"), col("v").as("va"))
+      .join(pool.select(col("vec_id").as("b"), col("v").as("vb")), col("a") < col("b"))
+      .select(SimilaritySearch.cosine(col("va"), col("vb")).as("c"))
+      .agg(min(roundMargin(col("c"), 6))).collect()(0).getDouble(0)
+    info(f"min round-6 margin of MMR pool pairwise cosines: $m%.2e")
+    assert(m > 1e-9, f"a pool pair's cosine sits $m%.2e from a round-6 boundary")
+  }
+
   test("PQ encode argmins and the ADC round-6 grid keep cross-engine margins") {
     // per-(vector, block) code assignment compares sqrt'd block
     // distances across engine library code (sqrt(sq_dist) vs

@@ -65,11 +65,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // argument again. weighted_sample shares shard_pack's two-phase
     // prefix sum (one row per bucket on the single partition);
     // zorder_prune's global fold aggregates one row per FILE (≤256)
-    // after the per-file partial agg.
+    // after the per-file partial agg. dedup_growth's running sum walks
+    // one row per 50-DOC BATCH after the bucket partial agg — the same
+    // bounded prefix-sum shape as shard_pack.
     val offenders = batchNames.filterNot(
       Set("shard_pack", "seq_pack", "corpus_shuffle", "hll_distinct",
         "bottomk_distinct", "ppjoin_pairs", "weighted_sample",
-        "zorder_prune"))
+        "zorder_prune", "dedup_growth"))
       .filter(n => plan(n).contains("SinglePartition"))
     assert(offenders.isEmpty,
       s"unexpected single-partition exchange in: ${offenders.mkString(", ")}")

@@ -44,4 +44,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a.map(_.getLong(0)).toSeq === (0L until 7L))
     assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq)
   }
+
+  test("invertedIndex: one posting per (term, doc), hand-computed tf/df") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c")).toDF("doc_id", "text")
+    val got = Retrieval.invertedIndex(docs).orderBy("term", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("a", 1L, 2L, 1L),           // tf 2 in doc 1, df 1
+      ("b", 1L, 1L, 2L), ("b", 2L, 1L, 2L),
+      ("c", 2L, 1L, 2L), ("c", 3L, 3L, 2L)))
+    // partition invariance of the postings
+    val again = Retrieval.invertedIndex(docs.repartition(5))
+      .orderBy("term", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === got.toSeq)
+  }
 }
