@@ -545,6 +545,44 @@ object SparkEntry {
       SimilaritySearch.mmrTopK(emb.where(col("vec_id") =!= 0), q, k = 10, pool = 24)
     }),
 
+    // binary sign quantization (1-bit rung under SQ/PQ): 32 portable
+    // md5-derived hyperplanes → int64 codes, candidates ranked by
+    // popcount(xor) — pure-integer output, the oracle regenerates the
+    // planes from its own md5 and replays code → xor → popcount
+    "ann_hamming" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      SimilaritySearch.hammingTopK(emb.where(col("vec_id") =!= 0), q, k = 20)
+    }),
+
+    // Matryoshka adaptive retrieval: coarse rank on the first 16 dims
+    // (raw-double ordering), pool-50 candidates, full-dim round-6
+    // cosine re-rank — the two-tier serving shape, oracle-replayed
+    "ann_matryoshka" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      SimilaritySearch.matryoshkaTopK(emb.where(col("vec_id") =!= 0), q, k = 20)
+    }),
+
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 keyword leg
+    // (bm25_topk's terms) and the dense cosine leg (vec 0 as the query)
+    // — integer 1000000 div (60 + rank) contributions, both legs' ranks
+    // replayed by the oracle (the dense leg on RAW doubles, no rounding)
+    "rrf_fusion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      graft.ops.Retrieval.rrfFusion(
+        t(s, dir, "documents").where(col("doc_id") =!= 0),
+        emb.where(col("vec_id") =!= 0),
+        Seq("dup", "key", "merge", "vector"), q, k = 20, pool = 50)
+    }),
+
     "knn_graph" -> ((s, dir) =>
       SimilaritySearch.neighborGraph(t(s, dir, "embeddings"), k = 5, exact = true)
         .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
@@ -1125,6 +1163,12 @@ object SparkEntry {
     "repetition_stats" -> ((s, dir) =>
       graft.ops.Repetition.repetitionStats(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // per-doc unigram entropy in exact milli-bits/token (interpolated
+    // floor-log2, order-free integer sums) — the low-entropy
+    // spam/template filter next to q22's surface-quality ratios
+    "entropy_score" -> ((s, dir) =>
+      TextAnalysis.entropyScore(t(s, dir, "documents"))
+        .orderBy("doc_id")),
     // CCNet-style corpus-level segment dedup: 10-word segments, first
     // occurrence by (doc_id, pos) keeps, later identical segments are
     // duplicates
@@ -1168,6 +1212,20 @@ object SparkEntry {
         Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
         .orderBy("doc_id")
     }),
+    // temperature-scaled (α = ½) source sampling: per-source quota
+    // budget·⌊√n⌋ div Σ⌊√n⌋, filled in the portable (md5(text), doc_id)
+    // order — the multilingual tail-up-weighting classic, admitted set
+    // replayed exactly by the oracle (OracleMarginSpec audits ⌊√n⌋)
+    "temperature_mix" -> ((s, dir) =>
+      graft.ops.Mixing.temperatureSample(t(s, dir, "documents"), budget = 200L)
+        .orderBy("doc_id")),
+    // data-constrained epoch mixing: budget 900 pushes every sf0.01
+    // source's quota past its 25 docs (quota 45 → one full epoch +
+    // 20-doc hash-order top-up), so n_copies ∈ {1, 2} is exercised;
+    // Σ n_copies per source = quota exactly
+    "epoch_mix" -> ((s, dir) =>
+      graft.ops.Mixing.epochSample(t(s, dir, "documents"), budget = 900L)
+        .orderBy("doc_id")),
     // token-budget shard packing via the two-phase distributed prefix
     // sum (bucketWidth 64 at test scale so the bucket-offset path is
     // actually exercised across ~8 buckets)
@@ -1244,6 +1302,34 @@ object SparkEntry {
       val nodes = emb.select(col("vec_id").cast("long").as("id"))
       graft.ops.GraphRank.pageRank(nodes, edges)
         .select(col("id").as("vec_id"), col("rank_fp"))
+        .orderBy("vec_id")
+    }),
+    // personalized PageRank from the vec_id % 97 seed set (bfs_dist's
+    // anchors): teleport mass restarts at the seeds only, rank decays
+    // with graph distance — seed-expansion as a curation signal, all 5
+    // integer iterations oracle-unrolled
+    "ppr_scores" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = SimilaritySearch.neighborGraph(emb, k = 5, exact = true)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+      val nodes = emb.select(col("vec_id").cast("long").as("id"))
+      graft.ops.GraphRank.personalizedPageRank(nodes, edges,
+          nodes.where(col("id") % 97 === 0))
+        .select(col("id").as("vec_id"), col("ppr_fp"))
+        .orderBy("vec_id")
+    }),
+    // HITS hubs & authorities on the directed kNN graph: 4 rounds of
+    // the UNNORMALIZED integer mutual recursion (pure order-free int64
+    // sums, no division) — bit-exact, every round oracle-unrolled
+    "hits_scores" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = SimilaritySearch.neighborGraph(emb, k = 5, exact = true)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+      val nodes = emb.select(col("vec_id").cast("long").as("id"))
+      graft.ops.GraphRank.hits(nodes, edges)
+        .select(col("id").as("vec_id"), col("hub_score"), col("auth_score"))
         .orderBy("vec_id")
     }),
     // per-vertex triangle counts on the symmetrized kNN graph — the
@@ -1397,6 +1483,25 @@ object SparkEntry {
       val r = ev.agg(min("ts_us"), max("ts_us")).head()
       graft.materialize.Upsert.asOfSnapshot(ledger, (r.getLong(0) + r.getLong(1)) / 2)
         .orderBy("subj", "obj")
+    }),
+    // ledger snapshot DIFF between the 25% and 75% timestamps: every
+    // triple whose liveness changed, tagged added/removed — the
+    // change-audit consumers sync on instead of re-reading the graph
+    "triple_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val ledger = ev.select(
+        concat(lit("u"), col("user_id")).as("subj"),
+        lit("ENGAGED_WITH").as("pred"),
+        concat(lit("k"), get_json_object(col("props"), "$.k")).as("obj"),
+        when(col("event_type") === "error", lit("del"))
+          .otherwise(lit("add")).as("op"),
+        col("ts_us"), col("event_id"))
+      val r = ev.agg(min("ts_us"), max("ts_us")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      graft.materialize.Upsert.snapshotDiff(ledger,
+          lo + (hi - lo) / 4, lo + 3L * (hi - lo) / 4)
+        .orderBy("subj", "pred", "obj", "change")
     }),
     // SemDeDup-style semantic dedup: portable md5-ranked centroids →
     // Euclidean argmin clusters → within-cluster rank<=64 anchor pairs →
@@ -1615,6 +1720,61 @@ object SparkEntry {
     }.mkString
     head + its +
       "\n SELECT id AS vec_id, cast(r as bigint) AS rank_fp FROM r5 ORDER BY vec_id"
+  }
+
+  /** ppr_scores oracle: pagerank's chained-CTE replay with the restart
+    * mass confined to the id % 97 seed set — seeds start at S div |sd|
+    * and alone receive the 15% base term each iteration.
+    */
+  private val pprOracleSql: String = {
+    val S = 1000000000000L
+    val head =
+      s"""$knnEdgeCtes,
+        | deg AS (SELECT src, cast(count(*) as bigint) AS deg FROM ed GROUP BY src),
+        | sd AS (SELECT id FROM nodes WHERE id % 97 = 0),
+        | nn AS (SELECT cast(count(*) as bigint) AS n FROM sd),
+        | r0 AS (SELECT nodes.id,
+        |     CASE WHEN sd.id IS NOT NULL THEN $S // nn.n ELSE 0 END AS r
+        |   FROM nodes CROSS JOIN nn LEFT JOIN sd ON nodes.id = sd.id)""".stripMargin
+    val its = (0 until 5).map { k =>
+      s""",
+        | m$k AS (SELECT ed.dst AS id, cast(sum(rk.r // deg.deg) as bigint) AS s
+        |   FROM ed JOIN deg USING (src) JOIN r$k rk ON ed.src = rk.id
+        |   GROUP BY ed.dst),
+        | r${k + 1} AS (SELECT nodes.id,
+        |     CASE WHEN sd.id IS NOT NULL THEN (15 * ($S // nn.n)) // 100 ELSE 0 END
+        |       + (85 * coalesce(mk.s, 0)) // 100 AS r
+        |   FROM nodes CROSS JOIN nn LEFT JOIN sd ON nodes.id = sd.id
+        |   LEFT JOIN m$k mk ON nodes.id = mk.id)""".stripMargin
+    }.mkString
+    head + its +
+      "\n SELECT id AS vec_id, cast(r as bigint) AS ppr_fp FROM r5 ORDER BY vec_id"
+  }
+
+  /** hits_scores oracle: the shared kNN edge CTE, then every
+    * UNNORMALIZED integer round unrolled — aʳ = per-dst sum of hʳ⁻¹,
+    * hʳ = per-src sum of aʳ; pure order-free sums, no division, so the
+    * replay is bit-exact by construction.
+    */
+  private val hitsOracleSql: String = {
+    val head =
+      s"""$knnEdgeCtes,
+        | h0 AS (SELECT id, cast(1 as bigint) AS h FROM nodes)""".stripMargin
+    val its = (0 until 4).map { k =>
+      s""",
+        | am$k AS (SELECT ed.dst AS id, cast(sum(hk.h) as bigint) AS s
+        |   FROM ed JOIN h$k hk ON ed.src = hk.id GROUP BY ed.dst),
+        | a${k + 1} AS (SELECT nodes.id, cast(coalesce(mk.s, 0) as bigint) AS a
+        |   FROM nodes LEFT JOIN am$k mk ON nodes.id = mk.id),
+        | hm$k AS (SELECT ed.src AS id, cast(sum(ak.a) as bigint) AS s
+        |   FROM ed JOIN a${k + 1} ak ON ed.dst = ak.id GROUP BY ed.src),
+        | h${k + 1} AS (SELECT nodes.id, cast(coalesce(mk2.s, 0) as bigint) AS h
+        |   FROM nodes LEFT JOIN hm$k mk2 ON nodes.id = mk2.id)""".stripMargin
+    }.mkString
+    head + its +
+      """
+        | SELECT h4.id AS vec_id, h4.h AS hub_score, a4.a AS auth_score
+        | FROM h4 JOIN a4 ON h4.id = a4.id ORDER BY vec_id""".stripMargin
   }
 
   /** label_prop oracle: the shared kNN edge CTE symmetrized, then all
@@ -2362,6 +2522,35 @@ object SparkEntry {
         |   CASE source WHEN 'src0' THEN 900000 WHEN 'src1' THEN 500000
         |    WHEN 'src2' THEN 250000 ELSE 100000 END
         | ORDER BY doc_id""".stripMargin,
+    // replays the α=½ temperature quotas: per-source ⌊√n⌋ weights,
+    // integer 200·w div Σw quota, admission in (md5-hash, doc_id) order
+    "temperature_mix" ->
+      """WITH c AS (SELECT source, cast(count(*) as bigint) AS n
+        |   FROM documents GROUP BY source),
+        | w AS (SELECT source, cast(floor(sqrt(n)) as bigint) AS wt FROM c),
+        | tq AS (SELECT source, (200 * wt) // (SELECT sum(wt) FROM w) AS quota FROM w),
+        | rk AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |     ORDER BY cast(concat('0x', substr(md5(text), 1, 8)) as bigint), doc_id) AS rank
+        |   FROM documents)
+        | SELECT rk.doc_id, rk.source, cast(rk.rank as bigint) AS rank
+        | FROM rk JOIN tq USING (source) WHERE rk.rank <= tq.quota
+        | ORDER BY doc_id""".stripMargin,
+    // replays the data-constrained epoch plan: quota div n full epochs
+    // for every doc + a quota mod n hash-order top-up copy
+    "epoch_mix" ->
+      """WITH c AS (SELECT source, cast(count(*) as bigint) AS n
+        |   FROM documents GROUP BY source),
+        | w AS (SELECT source, n, cast(floor(sqrt(n)) as bigint) AS wt FROM c),
+        | tq AS (SELECT source, n, (900 * wt) // (SELECT sum(wt) FROM w) AS quota FROM w),
+        | fr AS (SELECT source, quota // n AS f, quota % n AS rem FROM tq),
+        | rk AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |     ORDER BY cast(concat('0x', substr(md5(text), 1, 8)) as bigint), doc_id) AS rank
+        |   FROM documents)
+        | SELECT rk.doc_id, rk.source,
+        |   cast(fr.f + CASE WHEN rk.rank <= fr.rem THEN 1 ELSE 0 END as bigint) AS n_copies
+        | FROM rk JOIN fr USING (source)
+        | WHERE fr.f + CASE WHEN rk.rank <= fr.rem THEN 1 ELSE 0 END > 0
+        | ORDER BY doc_id""".stripMargin,
     // replays streaming first-seen bucket anchors: with a single-batch
     // source the anchor is the bucket MINIMUM, so the pair set is
     // (anchor, member) over the portable band buckets
@@ -2480,6 +2669,8 @@ object SparkEntry {
         | FROM wb w JOIN ctr c USING (depth, bucket)
         | GROUP BY w.word, w.true_n ORDER BY w.word""".stripMargin,
     "pagerank" -> pagerankOracleSql,
+    "hits_scores" -> hitsOracleSql,
+    "ppr_scores" -> pprOracleSql,
     // replays the oriented triangle enumeration over the proven kNN
     // edge set: symmetrize a<b, wedge join, closing join, per-vertex
     // fan-out with zero-filled non-participants
@@ -2627,6 +2818,47 @@ object SparkEntry {
         |   FROM i)
         | SELECT doc_id, cast(sum(contrib) as bigint) AS score_micro
         | FROM z GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 15""".stripMargin,
+    // hybrid-retrieval fusion: the bm25_topk integer chain (corpus
+    // minus doc 0, pool 50) ranked, the dense leg ranked on the RAW
+    // double cosine (bit-identical fold both engines, vec_id
+    // tie-break), then the integer 1000000 // (60 + rank) RRF sum
+    "rrf_fusion" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |   WHERE doc_id <> 0),
+        | st AS (SELECT count(*) AS n, (1000 * sum(len(w))) // count(*) AS avgmilli FROM d),
+        | hits AS (SELECT doc_id, len(w) AS len, unnest(w) AS t FROM d),
+        | h AS (SELECT * FROM hits WHERE t IN ('dup', 'key', 'merge', 'vector')),
+        | tf AS (SELECT doc_id, t, max(len) AS len, count(*) AS tf FROM h GROUP BY 1, 2),
+        | dfs AS (SELECT t, count(DISTINCT doc_id) AS df FROM h GROUP BY 1),
+        | sc AS (SELECT f.doc_id, f.tf, f.len, 2 * (st.n - x.df) + 1 AS aa,
+        |     2 * x.df + 1 AS bb, st.avgmilli
+        |   FROM tf f JOIN dfs x USING (t), st),
+        | qq AS (SELECT *, CASE WHEN aa >= bb THEN length(bin(aa // bb)) - 1
+        |     ELSE -1 END AS bits FROM sc),
+        | i AS (SELECT *, CASE WHEN bits < 0 THEN 0 ELSE bits * 1000
+        |     + (1000 * aa) // (bb * (1 << bits)) - 1000 END AS idf_milli FROM qq),
+        | z AS (SELECT doc_id, idf_milli *
+        |     ((1000 * tf * (100 + 120)) //
+        |      (100 * tf + (120 * (1000 - 10 * 75
+        |        + (75 * ((1000000 * len) // avgmilli)) // 100)) // 1000)) AS contrib
+        |   FROM i),
+        | bs AS (SELECT doc_id, cast(sum(contrib) as bigint) AS score_micro
+        |   FROM z GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 50),
+        | sr AS (SELECT doc_id,
+        |     row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank FROM bs),
+        | e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings
+        |   WHERE vec_id <> 0),
+        | qv AS (SELECT cast(embedding as double[]) AS q FROM embeddings WHERE vec_id = 0),
+        | dn AS (SELECT vec_id AS doc_id,
+        |     list_inner_product(v, q) /
+        |       (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(q, q))) AS cos
+        |   FROM e CROSS JOIN qv ORDER BY cos DESC, doc_id LIMIT 50),
+        | dr AS (SELECT doc_id,
+        |     row_number() OVER (ORDER BY cos DESC, doc_id) AS rank FROM dn),
+        | u AS (SELECT doc_id, rank FROM sr UNION ALL SELECT doc_id, rank FROM dr)
+        | SELECT doc_id, cast(count(*) as int) AS n_legs,
+        |   cast(sum(1000000 // (60 + rank)) as bigint) AS rrf_micro
+        | FROM u GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
     // full replay of the portable simhash: md5-nibble token values,
     // bit-majority vote per doc, nibble band buckets with the rank<=64
     // cap, Hamming verify on the 16-bit signatures
@@ -2674,6 +2906,22 @@ object SparkEntry {
         | FROM a ORDER BY doc_id""".stripMargin,
     // both engines work on the segment/gram STRINGS (no hash), so these
     // are bit-exact cross-engine; integer counts, one rounded division
+    // replays the per-doc unigram entropy: (doc, word) counts, doc
+    // totals, c·milliLog2(T/c) order-free sums, truncating div by T
+    "entropy_score" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | t2 AS (SELECT doc_id, w FROM tok WHERE length(w) > 0),
+        | c AS (SELECT doc_id, w, cast(count(*) as bigint) AS c
+        |   FROM t2 GROUP BY 1, 2),
+        | tt AS (SELECT doc_id, c,
+        |     cast(sum(c) OVER (PARTITION BY doc_id) as bigint) AS t,
+        |     cast(count(*) OVER (PARTITION BY doc_id) as bigint) AS nd FROM c),
+        | b AS (SELECT doc_id, c, t, nd, ${lrmSql("t", "c")} AS bm FROM tt)
+        | SELECT doc_id, min(t) AS n_tokens, min(nd) AS n_distinct,
+        |   cast(sum(c * bm) as bigint) AS h_milli_tokens,
+        |   cast(sum(c * bm) // min(t) as bigint) AS entropy_milli
+        | FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "repetition_stats" ->
       """WITH d AS (SELECT doc_id, len(text) AS n_chars,
         |     string_split(text, ' ') AS words FROM documents),
@@ -2755,6 +3003,36 @@ object SparkEntry {
         | SELECT term, doc_id, tf, count(*) OVER (PARTITION BY term) AS df
         | FROM p ORDER BY term, doc_id""".stripMargin,
     "ann_mmr" -> annMmrOracleSql(10, 24),
+    // replays the two-tier matryoshka serve: prefix-16 cosine pool on
+    // raw doubles (identical fold), full-dim round-6 re-rank
+    "ann_matryoshka" ->
+      """WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings
+        |   WHERE vec_id <> 0),
+        | qv AS (SELECT cast(embedding as double[]) AS q FROM embeddings WHERE vec_id = 0),
+        | c AS (SELECT vec_id, v,
+        |     list_inner_product(v[1:16], q[1:16]) /
+        |       (sqrt(list_inner_product(v[1:16], v[1:16]))
+        |        * sqrt(list_inner_product(q[1:16], q[1:16]))) AS pcos
+        |   FROM e CROSS JOIN qv ORDER BY pcos DESC, vec_id LIMIT 50)
+        | SELECT c.vec_id, round(list_inner_product(c.v, qv.q) /
+        |     (sqrt(list_inner_product(c.v, c.v))
+        |      * sqrt(list_inner_product(qv.q, qv.q))), 6) AS cosine
+        | FROM c CROSS JOIN qv ORDER BY cosine DESC, c.vec_id LIMIT 20""".stripMargin,
+    // regenerates the 32 bq_ hyperplanes from md5, recodes every vector
+    // to its 32 sign bits, ranks by popcount(xor) — all-integer replay
+    "ann_hamming" ->
+      """WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+        | planes AS (SELECT b, list_transform(generate_series(0, 63),
+        |     d -> ((cast(concat('0x', substr(md5(concat('bq_', b, '_', d)), 1, 8)) as bigint) % 2001) - 1000) / 1000.0) AS p
+        |   FROM generate_series(0, 31) t(b)),
+        | codes AS (SELECT e.vec_id,
+        |     cast(sum(CASE WHEN list_inner_product(e.v, pl.p) >= 0
+        |       THEN cast(1 as bigint) << pl.b ELSE 0 END) as bigint) AS code
+        |   FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+        | q AS (SELECT code AS qc FROM codes WHERE vec_id = 0)
+        | SELECT c.vec_id, cast(bit_count(xor(c.code, q.qc)) as int) AS hamming
+        | FROM codes c CROSS JOIN q WHERE c.vec_id <> 0
+        | ORDER BY hamming, c.vec_id LIMIT 20""".stripMargin,
     // element-order list_sum mirrors sq_dist's index-order accumulation;
     // 1.25*1.25 is exact in binary on both engines
     "q26_dbscan" ->
@@ -2899,6 +3177,34 @@ object SparkEntry {
         |   WHERE ts_us <= (SELECT (min(ts_us) + max(ts_us)) // 2 FROM e))
         | SELECT subj, pred, obj, ts_us AS since_us, event_id AS last_event_id
         | FROM rk WHERE rn = 1 AND op = 'add' ORDER BY subj, obj""".stripMargin,
+    // replays both snapshots (latest-op-wins windows at the 25%/75%
+    // cuts) and the two anti-joins as NOT EXISTS
+    "triple_diff" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+        |     event_type, props FROM events),
+        | led AS (SELECT 'u' || user_id AS subj, 'ENGAGED_WITH' AS pred,
+        |     'k' || json_extract_string(props, '$.k') AS obj,
+        |     CASE WHEN event_type = 'error' THEN 'del' ELSE 'add' END AS op,
+        |     ts_us, event_id FROM e),
+        | b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e),
+        | s1 AS (SELECT subj, pred, obj FROM (
+        |     SELECT *, row_number() OVER (PARTITION BY subj, pred, obj
+        |       ORDER BY ts_us DESC, event_id DESC) AS rn
+        |     FROM led WHERE ts_us <= (SELECT lo + (hi - lo) // 4 FROM b)) x
+        |   WHERE rn = 1 AND op = 'add'),
+        | s2 AS (SELECT subj, pred, obj FROM (
+        |     SELECT *, row_number() OVER (PARTITION BY subj, pred, obj
+        |       ORDER BY ts_us DESC, event_id DESC) AS rn
+        |     FROM led WHERE ts_us <= (SELECT lo + (3 * (hi - lo)) // 4 FROM b)) x
+        |   WHERE rn = 1 AND op = 'add')
+        | SELECT subj, pred, obj, 'added' AS change FROM s2
+        | WHERE NOT EXISTS (SELECT 1 FROM s1
+        |   WHERE s1.subj = s2.subj AND s1.pred = s2.pred AND s1.obj = s2.obj)
+        | UNION ALL
+        | SELECT subj, pred, obj, 'removed' AS change FROM s1
+        | WHERE NOT EXISTS (SELECT 1 FROM s2
+        |   WHERE s2.subj = s1.subj AND s2.pred = s1.pred AND s2.obj = s1.obj)
+        | ORDER BY subj, pred, obj, change""".stripMargin,
     "range_rolling" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         | cast(count(*) OVER w as bigint) AS n_window,

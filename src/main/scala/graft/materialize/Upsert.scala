@@ -74,6 +74,27 @@ object Upsert {
         col("ts_us").as("since_us"), col("event_id").as("last_event_id"))
   }
 
+  /** Graph diff between two ledger snapshots: every (subj, pred, obj)
+    * whose LIVENESS changed between T1 and T2 — `added` (live at T2,
+    * not at T1) or `removed` (live at T1, gone at T2) — the
+    * change-audit view over the same add/del ledger [[asOfSnapshot]]
+    * reads (what a downstream consumer syncs on instead of re-reading
+    * the full graph). Scale shape: each snapshot is one triple-keyed
+    * latest-op-wins window over its `ts <= T` slice; the diff is two
+    * triple-keyed anti-joins — all exchanges keyed on the triple, no
+    * global state.
+    */
+  def snapshotDiff(ledger: DataFrame, t1Us: Long, t2Us: Long): DataFrame = {
+    require(t1Us <= t2Us, s"snapshotDiff: t1 $t1Us > t2 $t2Us")
+    val a = asOfSnapshot(ledger, t1Us).select("subj", "pred", "obj")
+    val b = asOfSnapshot(ledger, t2Us).select("subj", "pred", "obj")
+    b.join(a, Seq("subj", "pred", "obj"), "left_anti")
+      .withColumn("change", lit("added"))
+      .unionAll(
+        a.join(b, Seq("subj", "pred", "obj"), "left_anti")
+          .withColumn("change", lit("removed")))
+  }
+
   /** Similarity-only retract (similarity_pipeline.py:32-40): drop
     * similarity/cluster predicates for the given inspections, keep the
     * construction triples.

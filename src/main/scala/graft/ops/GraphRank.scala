@@ -125,6 +125,91 @@ object GraphRank {
     lab
   }
 
+  /** Personalized PageRank: the teleport mass restarts at the SEED SET
+    * instead of uniformly — rank measures proximity to the seeds, the
+    * seed-expansion primitive of curation ("documents like the curated
+    * anchors", the Wikipedia-seeded quality-propagation trick) and of
+    * KG relevance ("entities near this component"). Same integer
+    * determinism contract and per-iteration shape as [[pageRank]]
+    * (truncating int64 fixed point, order-free message sums,
+    * localCheckpoint plan truncation); non-seeds start at 0 and receive
+    * no restart mass, so rank decays with graph distance from the
+    * seeds. Dangling mass is dropped, as in [[pageRank]].
+    */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+                           seeds: DataFrame, iters: Int = 5,
+                           scale: Long = 1000000000000L): DataFrame = {
+    val ns = seeds.count()
+    require(ns > 0, "personalizedPageRank: empty seed set")
+    val init = scale / ns
+    val base = 15L * init / 100L
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
+    val ids = nodes.select(col("id"))
+      .join(seeds.select(col("id"), lit(true).as("is_seed")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    var rank = ids.select(col("id"),
+      when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("r"))
+    for (_ <- 0 until iters) {
+      val msgs = ed.join(rank, ed("src") === rank("id"))
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      rank = ids.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr("(85L * coalesce(s, 0L)) div 100L")).as("r"))
+        .localCheckpoint(true)
+    }
+    rank.select(col("id"), col("r").as("ppr_fp"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg) over the DIRECTED edge set —
+    * the complementary centrality pair to [[pageRank]]: an authority is
+    * pointed at by good hubs, a hub points at good authorities (for a
+    * kNN curation graph: authorities are consensus near-centroids of a
+    * topic cluster, hubs the documents whose neighbor lists cover it).
+    *
+    * Determinism contract: UNNORMALIZED integer mutual recursion —
+    * h⁰ = 1, aʳ_i = Σ_{j→i} hʳ⁻¹_j, hʳ_i = Σ_{i→j} aʳ_j — pure
+    * order-free int64 sums with NO division anywhere, so scores are
+    * bit-identical across partitionings and engines and the oracle
+    * unrolls every round as chained CTEs. Magnitudes grow as
+    * maxdeg^(2·iters) — bounded on a kNN graph (deg ≤ 2k); production
+    * on a power-law graph adds the usual per-round scalar normalization
+    * (a one-row fold, the hll-estimator shape), which this fixed-round
+    * exact variant deliberately omits to keep the contract
+    * division-free.
+    *
+    * Scale shape per round: two vertex-keyed equi-joins + partial-agg
+    * sums (messages reduce map-side before the shuffle), work O(|E|),
+    * `localCheckpoint(true)` truncating the iteration lineage — the
+    * [[pageRank]] discipline exactly.
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 4): DataFrame = {
+    val ed = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val ids = nodes.select(col("id")).localCheckpoint(true)
+    var hub = ids.select(col("id"), lit(1L).as("h"))
+    var auth = ids.select(col("id"), lit(0L).as("a"))
+    for (_ <- 0 until iters) {
+      val am = ed.join(hub, ed("src") === hub("id"))
+        .select(col("dst").as("id"), col("h"))
+        .groupBy("id").agg(sum("h").as("s"))
+      auth = ids.join(am, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("a"))
+        .localCheckpoint(true)
+      val hm = ed.join(auth, ed("dst") === auth("id"))
+        .select(col("src").as("id"), col("a"))
+        .groupBy("id").agg(sum("a").as("s"))
+      hub = ids.join(hm, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("h"))
+        .localCheckpoint(true)
+    }
+    hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub_score"), col("a").as("auth_score"))
+  }
+
   /** Adamic–Adar link prediction over the symmetrized edge set: score
     * every NON-adjacent pair (a < b) that shares at least one common
     * neighbor by Σ_z 1/log(deg z) — rare shared neighbors count more —

@@ -32,6 +32,89 @@ object Mixing {
       .select("doc_id", "source", "lang")
   }
 
+  /** Temperature-scaled source sampling at α = 1/2 — the multilingual-
+    * mixing classic (mBERT/XLM-R exponentiated sampling): a source with
+    * n documents gets mixture weight √n, so head sources are damped and
+    * tail sources up-weighted relative to proportional sampling. The
+    * per-source quota is the exact integer
+    * `budget · floor(√n) div Σ floor(√n)`, and WHICH documents fill it
+    * is the deterministic portable order (md5(text), doc_id) — lowest
+    * hashes first — so the admitted set is reproducible across engines,
+    * reruns and partitionings.
+    *
+    * floor(√n) is cross-engine safe: IEEE-754 sqrt is correctly
+    * rounded, n is integer-exact in a double, and for n < 2^51 a
+    * non-square n can never round ONTO an integer (the gap to the
+    * nearest integer is ≥ 1/(2√n) ≫ ulp) — OracleMarginSpec audits the
+    * fixture counts against an exact integer isqrt.
+    *
+    * Scale shape: the per-source count is a partial-agg rollup to a
+    * handful of rows (collected driver-side — the bounded vocab-fit
+    * class), quotas ride back as a broadcast map literal, and the rank
+    * is ONE window partitioned by source (AQE skew-split applies to a
+    * dominant source). No global ordering anywhere.
+    */
+  def temperatureSample(docs: DataFrame, budget: Long = 200L): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.nonEmpty, "temperatureSample: empty corpus")
+    val w = counts.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val tot = w.map(_._2).sum
+    require(tot > 0, "temperatureSample: all sources empty")
+    val quota = w.map { case (s, ww) => s -> budget * ww / tot }
+    val quotaMap = map(quota.flatMap { case (s, q) =>
+      Seq(lit(s), lit(q)) }.toIndexedSeq: _*)
+    val rk = Window.partitionBy("source")
+      .orderBy(asc("hk"), asc("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("hk"))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .where(col("rank") <= element_at(quotaMap, col("source")))
+      .select(col("doc_id"), col("source"), col("rank"))
+  }
+
+  /** Data-constrained epoch mixing (the Muennighoff et al. regime):
+    * like [[temperatureSample]] but the per-source quota MAY EXCEED the
+    * source's size — the whole source then repeats for
+    * `quota div n` full epochs and the `quota mod n` remainder tops up
+    * in the same portable (md5(text), doc_id) order. Output is one row
+    * per admitted document with its exact repetition count
+    * (`n_copies`), i.e. the materialization plan a data-constrained
+    * training run feeds the sampler; Σ n_copies per source = quota
+    * exactly.
+    *
+    * Same determinism contract and scale shape as [[temperatureSample]]
+    * (bounded per-source fit driver-side, broadcast quota maps, one
+    * source-partitioned rank window); the epoch arithmetic is pure
+    * int64.
+    */
+  def epochSample(docs: DataFrame, budget: Long = 900L): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.nonEmpty, "epochSample: empty corpus")
+    val w = counts.map { case (s, n) =>
+      (s, n, math.floor(math.sqrt(n.toDouble)).toLong) }
+    val tot = w.map(_._3).sum
+    require(tot > 0, "epochSample: all sources empty")
+    val full = w.map { case (s, n, ww) => s -> (budget * ww / tot) / n }
+    val rem = w.map { case (s, n, ww) => s -> (budget * ww / tot) % n }
+    def mapOf(kv: Seq[(String, Long)]) =
+      map(kv.flatMap { case (s, q) => Seq(lit(s), lit(q)) }.toIndexedSeq: _*)
+    val rk = Window.partitionBy("source").orderBy(asc("hk"), asc("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("hk"))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .withColumn("n_copies",
+        element_at(mapOf(full.toSeq), col("source")) +
+          when(col("rank") <= element_at(mapOf(rem.toSeq), col("source")),
+            lit(1L)).otherwise(lit(0L)))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_copies"))
+  }
+
   /** Token-budget shard packing: assign each document to a training
     * shard of ~`shardTokens` whitespace tokens, in deterministic
     * doc_id order (shard = the running token offset at the START of

@@ -67,6 +67,49 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion of a sparse (BM25) and a dense (embedding
+    * cosine) candidate list — the standard hybrid-retrieval combiner
+    * (Cormack & Clarke '09): each leg contributes 1/(rrfK + rank) per
+    * document, here as the exact integer `1000000 div (rrfK + rank)`
+    * micro units, so the fused scores are int64 and engine-replayable.
+    *
+    * Cross-engine determinism: the BM25 leg is already integer
+    * ([[bm25TopK]]); the dense leg ranks on the RAW double cosine
+    * (identical left-to-right fold both engines — bit-equal doubles
+    * order identically, no rounding boundary exists) with vec_id
+    * tie-break. Output (doc_id, n_legs, rrf_micro) is pure integer.
+    *
+    * Scale shape: each leg is the corpus-sized work its operator
+    * already does (BM25's term-filtered shuffle / the dense scan →
+    * TakeOrdered); fusion itself touches only the two ≤`pool`-row
+    * candidate lists — the rank windows run over bounded serving-side
+    * tables (the MMR stage-2 class), then a ≤2·pool-row union +
+    * group-by. `docs.doc_id` and `embeddings.vec_id` must share a key
+    * space.
+    */
+  def rrfFusion(docs: DataFrame, embeddings: DataFrame,
+                terms: Seq[String], query: Array[Double],
+                k: Int = 20, pool: Int = 50, rrfK: Long = 60L): DataFrame = {
+    val sparse = bm25TopK(docs, terms, k = pool)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score_micro"), asc("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val v = expr("transform(embedding, x -> cast(x as double))")
+    val dense = embeddings
+      .select(col("vec_id").as("doc_id"),
+        SimilaritySearch.cosine(v, lit(query)).as("cos"))
+      .orderBy(desc("cos"), asc("doc_id")).limit(pool)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("cos"), asc("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    sparse.unionAll(dense)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_legs"),
+        sum(expr(s"1000000L div (${rrfK}L + rank)")).as("rrf_micro"))
+      .orderBy(desc("rrf_micro"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Inverted-index build: one posting row per (term, doc_id) with the
     * term frequency, plus the term's document frequency — the batch
     * index-construction job behind [[bm25TopK]]-style serving (in

@@ -497,6 +497,78 @@ object SimilaritySearch {
       .toDF("mmr_rank", "vec_id", "relevance", "mmr_score")
   }
 
+  /** Matryoshka / adaptive retrieval: coarse-rank on the PREFIX
+    * dimensions of the embedding (an MRL-trained model front-loads
+    * information, so the first `prefixDims` coordinates are a usable
+    * low-cost proxy), keep a `pool`-sized candidate set, then re-rank
+    * the pool with the FULL-dimension cosine — the two-tier serving
+    * shape that reads 16/64ths of the vector bytes for the corpus-sized
+    * stage. Plan: scan → prefix-cosine (codegen HOF over the sliced
+    * array) → TakeOrdered(pool) → bounded full-dim re-rank →
+    * TakeOrdered(k); no shuffle anywhere.
+    *
+    * Cross-engine contract: stage-1 ordering is on RAW doubles (the
+    * slice is float-exact, the fold left-to-right both engines);
+    * only the OUTPUT cosine is rounded (round-6, the audited grid).
+    */
+  def matryoshkaTopK(embeddings: DataFrame, query: Array[Double], k: Int,
+                     prefixDims: Int = 16, pool: Int = 50): DataFrame = {
+    require(prefixDims >= 1 && prefixDims < query.length,
+      s"matryoshkaTopK: prefixDims must be in [1, dims), got $prefixDims")
+    val v = expr("transform(embedding, x -> cast(x as double))")
+    val pv = expr(
+      s"transform(slice(embedding, 1, $prefixDims), x -> cast(x as double))")
+    val cand = embeddings
+      .select(col("vec_id"), v.as("vec"),
+        cosine(pv, lit(query.take(prefixDims))).as("pcos"))
+      .orderBy(desc("pcos"), asc("vec_id")).limit(pool)
+    cand
+      .select(col("vec_id"),
+        round(cosine(col("vec"), lit(query)), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Binary sign quantization + Hamming ANN — the 1-bit rung of the
+    * quantization ladder (below [[sqTopK]]'s int8 and [[pqTopK]]'s
+    * codebook bytes): each vector collapses to `bits` sign bits of its
+    * dot products against the PORTABLE md5-derived hyperplanes
+    * ([[portablePlanes]], `bq_` namespace), and candidate ranking is
+    * popcount(xor) of the int64 codes — at rest a 64-dim float vector
+    * becomes ONE long (32× smaller), and at 100 TB the scored stream is
+    * xor+popcount over longs instead of 64-term float dots (in
+    * production the codes materialize once; the rerank stage then
+    * fetches full vectors for the bounded candidate set, exactly as
+    * AnnSpec demonstrates).
+    *
+    * Output is PURE INTEGER — (vec_id, hamming) by (hamming asc,
+    * vec_id asc) — so the gate has no float-rounding surface at all:
+    * the only cross-engine contact points are the plane coefficients
+    * (exact md5 integer arithmetic) and the dot-product SIGN (the
+    * left-to-right fold both engines share, the ann_lsh_portable
+    * contract). Plan shape: map-only scan → codegen'd code+xor+popcount
+    * → TakeOrderedAndProject; the query's code constant-folds.
+    */
+  def hammingTopK(embeddings: DataFrame, query: Array[Double], k: Int,
+                  bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"hammingTopK: bits must be 1..63, got $bits")
+    val planes = portablePlanes(bits, query.length, prefix = "bq_")
+    // plain linear sum of `bits` independent terms — each references
+    // its own literal plane, no accumulated-subtree duplication
+    def codeOf(v: Column): Column =
+      planes.zipWithIndex.map { case (p, b) =>
+        when(dot(v, lit(p)) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    embeddings
+      .select(col("vec_id"),
+        codeOf(expr("transform(embedding, x -> cast(x as double))")).as("code"),
+        codeOf(lit(query)).as("qcode"))
+      .select(col("vec_id"),
+        expr("cast(bit_count(code ^ qcode) as int)").as("hamming"))
+      .orderBy(asc("hamming"), asc("vec_id"))
+      .limit(k)
+  }
+
   def rpReduce(embeddings: DataFrame, dims: Int = 8): DataFrame = {
     val planes = portablePlanes(dims, 64, prefix = "rp_")
     embeddings

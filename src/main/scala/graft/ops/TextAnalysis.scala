@@ -154,6 +154,39 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word"))
       .limit(k)
 
+  /** Per-document unigram entropy — the low-entropy spam/boilerplate
+    * filter (keyboard mash, repeated-token padding and template pages
+    * all score near 0 bits/token; natural prose sits near log2 of its
+    * effective vocabulary). H = Σ_w (c_w/T)·log2(T/c_w) over the
+    * document's OWN word distribution, kept exact-integer via the
+    * shared interpolated milli-log2: `h_milli_tokens` = Σ_w c_w ·
+    * milliLog2(T/c_w) (an order-free int64 sum — T ≥ c_w ≥ 1 always,
+    * so the log argument is an ordered rational) and `entropy_milli` =
+    * its truncating division by T, i.e. milli-bits per token. Engines
+    * replay both bit for bit; no float anywhere.
+    *
+    * Scale shape: explode → (doc, word) map-side partial-agg count →
+    * doc-keyed window for the totals → doc-keyed final agg; Spark
+    * reuses the window's hash partitioning for the final agg, so the
+    * corpus shuffles ONCE (on the (doc, word) key) plus the doc-keyed
+    * exchange — the repetition_stats shape.
+    */
+  def entropyScore(docs: DataFrame): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .withColumn("t", sum("c").over(byDoc))
+      .withColumn("nd", count(lit(1)).over(byDoc))
+      .withColumn("bits_milli", expr(Selection.logRatioMilli("t", "c")))
+      .groupBy("doc_id")
+      .agg(first("t").as("n_tokens"),
+        first("nd").as("n_distinct"),
+        sum(expr("c * bits_milli")).as("h_milli_tokens"))
+      .withColumn("entropy_milli", expr("h_milli_tokens div n_tokens"))
+  }
+
   /** Overlapping word-window chunking — the context-window prep step
     * (RAG passages / fixed-length training windows): one chunk per
     * stride start, the last chunk truncated at the document end.

@@ -14,6 +14,72 @@ class AnnSpec extends AnyFunSuite {
     .collect()(0).getSeq[Double](0).toArray
   lazy val rest = emb.where(col("vec_id") =!= 0)
 
+  test("matryoshkaTopK: prefix pool recalls, full-dim stage re-ranks a prefix decoy") {
+    import spark.implicits._
+    // 8-dim vectors, prefix 4. decoy (id 2) matches the query exactly on
+    // the prefix but is opposite on the tail; id 3 is slightly off on
+    // the prefix but aligned on the tail → full-dim re-rank must flip
+    // them. id 4 is prefix-orthogonal (still pooled at pool=10).
+    val q = Array(1.0, 0.5, -0.5, 0.25, 1.0, 1.0, 0.5, 0.5)
+    def f(a: Array[Double]) = a.map(_.toFloat).toSeq
+    val df = Seq(
+      (2L, f(Array(1.0, 0.5, -0.5, 0.25, -1.0, -1.0, -0.5, -0.5))),
+      (3L, f(Array(0.9, 0.5, -0.5, 0.25, 1.0, 1.0, 0.5, 0.5))),
+      (4L, f(Array(-0.5, 1.0, 0.5, 0.25, 0.2, 0.1, 0.0, 0.0))))
+      .toDF("vec_id", "embedding")
+    val got = SimilaritySearch.matryoshkaTopK(df, q, k = 3, prefixDims = 4, pool = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(3L, 4L, 2L), s"re-rank order was $got")
+  }
+
+  test("matryoshkaTopK equals brute force when the tail dims are zero") {
+    import spark.implicits._
+    // information entirely in the prefix → the coarse stage is exact
+    val rows = (0 until 30).map { i =>
+      val v = Array.tabulate(8)(d =>
+        if (d < 4) math.sin(i * 1.3 + d).toFloat else 0f)
+      (i.toLong + 1L, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = Array(0.4, 0.8, -0.3, 0.1, 0.0, 0.0, 0.0, 0.0)
+    val mat = SimilaritySearch.matryoshkaTopK(df, q, k = 5, prefixDims = 4, pool = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bf = SimilaritySearch.bruteForceTopK(df, q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mat === bf)
+  }
+
+  test("hammingTopK: sign codes — identical/scaled vectors at 0 bits, negated at all bits") {
+    import spark.implicits._
+    val v = Array.tabulate(8)(i => math.sin(i + 1.0))
+    val df = Seq(
+      (1L, v.map(_.toFloat).toSeq),                 // the query itself → code equal
+      (2L, v.map(x => (-x).toFloat).toSeq),         // every dot sign flips
+      (3L, v.map(_.toFloat).map(x => x * 0.5f).toSeq) // exact halving keeps signs
+    ).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.hammingTopK(df, v, k = 3, bits = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === Seq((1L, 0), (3L, 0), (2L, 16)), s"got $got")
+  }
+
+  test("hammingTopK recalls the query's cluster on clustered data") {
+    import spark.implicits._
+    // three well-separated directions, 10 noisy members each; the
+    // query is cluster 0's center → sign codes of cluster 0 members
+    // differ in few bits, other clusters sit near the 16-bit mean
+    def center(c: Int) = Array.tabulate(16)(d => math.sin(c * 5.1 + d * 1.7))
+    val rows = for (c <- 0 until 3; i <- 0 until 10) yield {
+      val v = center(c).zipWithIndex.map { case (x, d) =>
+        (x + 0.05 * math.sin(c + i * 7.3 + d)).toFloat }
+      ((c * 10 + i).toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = SimilaritySearch.hammingTopK(df, center(0), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // all of cluster 0 (ids 0..9) should beat the other clusters
+    assert(got === (0L until 10L).toSet, s"hamming top-10 was $got")
+  }
+
   test("rp projection: linear, map-determined, pca's exploded shape") {
     import spark.implicits._
     val a = Array.tabulate(64)(d => math.sin(d).toFloat)

@@ -44,6 +44,45 @@ class GraphRankSpec extends AnyFunSuite {
     assert(total >= (Scale * 95L) / 100L, s"total $total lost too much mass")
   }
 
+  test("personalized PageRank: mass decays with distance from the seed, unreachable stays 0") {
+    import spark.implicits._
+    // directed path 1→2→3, plus isolated 4; seed = {1}
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = GraphRank.personalizedPageRank(nodes, edges, Seq(1L).toDF("id"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L),
+      s"rank should decay along the path: $r")
+    assert(r(4L) === 0L, s"unreachable vertex must hold zero mass: $r")
+    // the seed's floor is its restart mass: 15% of scale (|seeds| = 1)
+    assert(r(1L) === 150000000000L, s"seed floor off: ${r(1L)}")
+  }
+
+  test("HITS round 1: co-cited authority collects the hub mass, hubs tie exactly") {
+    import spark.implicits._
+    // 1→2, 3→2 (2 is the co-cited authority), 2→4
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
+    val r = GraphRank.hits(nodes, edges, iters = 1).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // a¹(2) = h⁰(1)+h⁰(3) = 2, a¹(4) = h⁰(2) = 1, others 0
+    assert(r(2L)._2 === 2L && r(4L)._2 === 1L && r(1L)._2 === 0L && r(3L)._2 === 0L)
+    // h¹(1) = h¹(3) = a¹(2) = 2, h¹(2) = a¹(4) = 1, h¹(4) = 0
+    assert(r(1L)._1 === 2L && r(3L)._1 === 2L && r(2L)._1 === 1L && r(4L)._1 === 0L)
+  }
+
+  test("HITS is partition-invariant (pure integer sums)") {
+    import spark.implicits._
+    val nodes = (0L until 40L).toDF("id")
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i + 1) % 40), (i, (i * 11 + 5) % 40)))
+    val a = GraphRank.hits(nodes, edges.toDF("src", "dst"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val b = GraphRank.hits(nodes.repartition(7), edges.toDF("src", "dst").repartition(3))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(a === b)
+  }
+
   test("triangles: K4 vertices sit in 3 each, a pendant vertex in 0") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     // K4 over 1..4 plus a pendant 4–5; one duplicate reversed edge to

@@ -36,6 +36,63 @@ class MixingSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("pack_offset")).toSeq === Seq(0L, 3L, 1L))
   }
 
+  test("entropyScore: hand-computed milli-bit entropies") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a a a a"),      // uniform single token → 0 bits
+      (1L, "a b"),          // 2 equiprobable → exactly 1000 milli-bits
+      (2L, "a a b b c c d d") // 4 equiprobable → exactly 2000 milli-bits
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.entropyScore(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))).toSeq
+    assert(out === Seq((0L, 4L, 1L, 0L), (1L, 2L, 2L, 1000L),
+      (2L, 8L, 4L, 2000L)))
+  }
+
+  test("temperatureSample: sqrt-damped quotas, filled in portable hash order") {
+    import spark.implicits._
+    // big: 100 docs → w=10; small: 4 docs → w=2; Σw=12, budget 24
+    // → quotas (24·10) div 12 = 20 and (24·2) div 12 = 4
+    val docs = ((0L until 100L).map(i => (i, s"t$i", "big")) ++
+      (100L until 104L).map(i => (i, s"t$i", "small")))
+      .toDF("doc_id", "text", "source")
+    val got = Mixing.temperatureSample(docs, budget = 24L).collect()
+    val bySrc = got.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySrc === Map("big" -> 20, "small" -> 4))
+    // admission is exactly the 20 lowest (md5-prefix, doc_id) keys of 'big'
+    def hk(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expectBig = (0L until 100L).map(i => (hk(s"t$i"), i))
+      .sorted.take(20).map(_._2).toSet
+    val gotBig = got.filter(_.getString(1) == "big").map(_.getLong(0)).toSet
+    assert(gotBig === expectBig)
+    // ranks are the contiguous 1..quota prefix
+    assert(got.filter(_.getString(1) == "big").map(_.getLong(2)).sorted.toSeq
+      === (1L to 20L))
+  }
+
+  test("epochSample: quotas past the source size become full epochs + hash top-up") {
+    import spark.implicits._
+    // big: 9 docs → w=3; small: 1 doc → w=1; Σw=4, budget 8
+    // → quotas 6 and 2: big = 6 single copies, small = 2 full epochs
+    val docs = ((0L until 9L).map(i => (i, s"e$i", "big")) :+
+      ((9L, "e9", "small"))).toDF("doc_id", "text", "source")
+    val got = Mixing.epochSample(docs, budget = 8L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySrc === Map("big" -> 6L, "small" -> 2L),
+      s"per-source copy totals must equal the quotas: $bySrc")
+    assert(got.filter(_._2 == "big").forall(_._3 == 1L))
+    assert(got.filter(_._2 == "small").map(_._3).toSeq === Seq(2L))
+    // the admitted 'big' six are the lowest-hash prefix, as in
+    // temperatureSample (same window, same portable key)
+    assert(got.count(_._2 == "big") === 6)
+  }
+
   test("sourceSample honors degenerate weights and drops unlisted sources") {
     val docs = (0L until 60L).map { i =>
       (i, s"doc $i content", s"src${i % 3}", "en")

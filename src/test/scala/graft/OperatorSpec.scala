@@ -66,6 +66,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff: liveness changes only, latest-op-wins at each cut") {
+    // ledger: c lives before T1 (unchanged → absent from the diff);
+    // a lives at T1 but is deleted by T2; b appears between the cuts;
+    // d is added AND deleted between the cuts (no liveness change)
+    val ledger = Seq(
+      ("c", "P", "x", "add", 0L, 0L),
+      ("a", "P", "x", "add", 1L, 1L),
+      ("b", "P", "y", "add", 5L, 2L),
+      ("a", "P", "x", "del", 6L, 3L),
+      ("d", "P", "z", "add", 7L, 4L),
+      ("d", "P", "z", "del", 8L, 5L)
+    ).toDF("subj", "pred", "obj", "op", "ts_us", "event_id")
+    val got = Upsert.snapshotDiff(ledger, 2L, 9L)
+      .collect().map(r => (r.getString(0), r.getString(3))).toSeq.sorted
+    assert(got === Seq(("a", "removed"), ("b", "added")), s"diff was $got")
+  }
+
   test("retractSimilarity drops only similarity preds of the target inspections") {
     val triples = Seq(
       ("100.1", "SIMILAR_TO", "100.2"), ("200.1", "SIMILAR_TO", "200.2"),

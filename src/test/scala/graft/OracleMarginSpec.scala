@@ -31,6 +31,21 @@ class OracleMarginSpec extends AnyFunSuite {
     .select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
 
+  test("temperature_mix: floor(sqrt(n)) agrees with exact integer isqrt on fixture counts") {
+    // the quota weight is floor of the IEEE double sqrt — safe for
+    // n < 2^51 (a non-square's sqrt can't round ONTO an integer); this
+    // audits the actual per-source counts against an exact isqrt
+    val counts = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(counts.nonEmpty)
+    for (n <- counts) {
+      val viaDouble = math.floor(math.sqrt(n.toDouble)).toLong
+      var k = math.max(viaDouble - 2, 0L)
+      while ((k + 1) * (k + 1) <= n) k += 1
+      assert(viaDouble === k, s"floor(sqrt($n)): double says $viaDouble, exact isqrt $k")
+    }
+  }
+
   test("q27: all-pairs cosine keeps margin from the 0.45 threshold and round-4 grid") {
     val a = emb.select(col("vec_id").as("a"), col("v").as("va"))
     val b = emb.select(col("vec_id").as("b"), col("v").as("vb"))

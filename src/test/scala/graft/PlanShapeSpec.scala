@@ -68,10 +68,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // after the per-file partial agg. dedup_growth's running sum walks
     // one row per 50-DOC BATCH after the bucket partial agg — the same
     // bounded prefix-sum shape as shard_pack.
+    // rrf_fusion's two rank windows run over the ≤pool-row candidate
+    // lists AFTER each leg's bounded top-k — serving-side tables (the
+    // MMR stage-2 class), never the corpus.
     val offenders = batchNames.filterNot(
       Set("shard_pack", "seq_pack", "corpus_shuffle", "hll_distinct",
         "bottomk_distinct", "ppjoin_pairs", "weighted_sample",
-        "zorder_prune", "dedup_growth"))
+        "zorder_prune", "dedup_growth", "rrf_fusion"))
       .filter(n => plan(n).contains("SinglePartition"))
     assert(offenders.isEmpty,
       s"unexpected single-partition exchange in: ${offenders.mkString(", ")}")

@@ -24,6 +24,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got === Seq((1L, 666000L), (2L, 0L)))
   }
 
+  test("rrfFusion: integer reciprocal ranks, both-leg docs outrank single-leg") {
+    import spark.implicits._
+    // sparse leg: only doc 1 contains the query term → sparse = [1]
+    val docs = Seq((1L, "q a"), (2L, "a b"), (3L, "b c")).toDF("doc_id", "text")
+    // dense leg vs query (1,0): cosines 0 / 1 / ~0.994 → ranks 2, 3, 1
+    val emb = Seq(
+      (1L, Seq(0f, 1f)), (2L, Seq(1f, 0f)), (3L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.rrfFusion(docs, emb, Seq("q"), Array(1.0, 0.0),
+        k = 5, pool = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // doc1: sparse rank 1 + dense rank 3 → 1000000//61 + 1000000//63
+    // doc2: dense rank 1 → 16393; doc3: dense rank 2 → 16129
+    assert(got === Seq((1L, 2, 32266L), (2L, 1, 16393L), (3L, 1, 16129L)))
+  }
+
   test("tf saturation and length normalization shape the ranking") {
     // rare term q (df 2 of 5): doc2 has tf=2 but is 3x longer — the
     // length penalty outweighs the saturated second occurrence, the
