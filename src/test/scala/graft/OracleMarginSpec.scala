@@ -168,6 +168,24 @@ class OracleMarginSpec extends AnyFunSuite {
       "an emitted ANN value sits on the round-6 grid boundary")
   }
 
+  test("ann_matryoshka: pool full-dim cosines keep round-6 margins") {
+    // stage 1 orders on RAW prefix-cosine doubles (bit-identical fold
+    // both engines — no margin needed); only the stage-2 OUTPUT cosine
+    // is rounded, so the audit is the round-6 grid over the pool
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("v")).collect()(0).getSeq[Double](0).toArray
+    val pv = expr("transform(slice(v, 1, 16), x -> x)")
+    val pool = emb.where(col("vec_id") =!= 0)
+      .withColumn("pcos",
+        SimilaritySearch.cosine(pv, lit(query.take(16))))
+      .orderBy(desc("pcos"), asc("vec_id")).limit(50)
+    val m = pool
+      .select(SimilaritySearch.cosine(col("v"), lit(query)).as("c"))
+      .agg(min(roundMargin(col("c"), 6))).collect()(0).getDouble(0)
+    info(f"min round-6 margin of matryoshka pool cosines: $m%.2e")
+    assert(m > 1e-9, f"a pool cosine sits $m%.2e from a round-6 boundary")
+  }
+
   test("ann_mmr: candidate-pool cosines keep round-6 margins; greedy is arithmetic-identical") {
     // The MMR gate's cross-engine inputs are the round-6 relevances
     // (covered by the portable-ANN r6 cosine audit over the whole
