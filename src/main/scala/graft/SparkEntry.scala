@@ -1163,6 +1163,11 @@ object SparkEntry {
     "repetition_stats" -> ((s, dir) =>
       graft.ops.Repetition.repetitionStats(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // TextRank keyword extraction: integer PageRank composed over the
+    // adjacent-token co-occurrence graph (string vertex ids), top-10
+    // by (rank desc, word) — every iteration oracle-unrolled
+    "textrank_words" -> ((s, dir) =>
+      TextAnalysis.textRank(t(s, dir, "documents"))),
     // per-doc unigram entropy in exact milli-bits/token (interpolated
     // floor-log2, order-free integer sums) — the low-entropy
     // spam/template filter next to q22's surface-quality ratios
@@ -1318,6 +1323,21 @@ object SparkEntry {
           nodes.where(col("id") % 97 === 0))
         .select(col("id").as("vec_id"), col("ppr_fp"))
         .orderBy("vec_id")
+    }),
+    // GraphSAGE-style one-hop neighbor MEAN aggregation over the
+    // symmetrized kNN graph: micro-unit quantized coordinates
+    // (floor(x·1e6+0.5) — pure IEEE arithmetic, identical both
+    // engines), order-free integer sums, one truncating division
+    "neighbor_agg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = SimilaritySearch.neighborGraph(emb, k = 5, exact = true)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+      val feats = emb.select(col("vec_id").cast("long").as("id"),
+        expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      graft.ops.GraphRank.neighborMean(feats, edges)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "dim")
     }),
     // HITS hubs & authorities on the directed kNN graph: 4 rounds of
     // the UNNORMALIZED integer mutual recursion (pure order-free int64
@@ -1749,6 +1769,38 @@ object SparkEntry {
     }.mkString
     head + its +
       "\n SELECT id AS vec_id, cast(r as bigint) AS ppr_fp FROM r5 ORDER BY vec_id"
+  }
+
+  /** textrank_words oracle: rebuilds the adjacent-token co-occurrence
+    * graph (least/greatest dedup, symmetrize), then the pagerank
+    * iteration chain over STRING ids — identical integer op order.
+    */
+  private val textrankOracleSql: String = {
+    val S = 1000000000000L
+    val head =
+      s"""WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents),
+        | pr AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |     i -> {'a': w[i], 'b': w[i + 1]})) AS s FROM tok),
+        | p AS (SELECT DISTINCT least(s.a, s.b) AS x, greatest(s.a, s.b) AS y
+        |   FROM pr WHERE s.a <> s.b AND length(s.a) > 0 AND length(s.b) > 0),
+        | ed AS (SELECT x AS src, y AS dst FROM p UNION ALL SELECT y, x FROM p),
+        | nodes AS (SELECT DISTINCT src AS id FROM ed),
+        | deg AS (SELECT src, cast(count(*) as bigint) AS deg FROM ed GROUP BY src),
+        | nn AS (SELECT cast(count(*) as bigint) AS n FROM nodes),
+        | r0 AS (SELECT id, $S // n AS r FROM nodes CROSS JOIN nn)""".stripMargin
+    val its = (0 until 5).map { k =>
+      s""",
+        | m$k AS (SELECT ed.dst AS id, cast(sum(rk.r // deg.deg) as bigint) AS s
+        |   FROM ed JOIN deg USING (src) JOIN r$k rk ON ed.src = rk.id
+        |   GROUP BY ed.dst),
+        | r${k + 1} AS (SELECT nodes.id,
+        |     (15 * ($S // nn.n)) // 100 + (85 * coalesce(mk.s, 0)) // 100 AS r
+        |   FROM nodes CROSS JOIN nn LEFT JOIN m$k mk ON nodes.id = mk.id)""".stripMargin
+    }.mkString
+    head + its +
+      """
+        | SELECT id AS word, cast(r as bigint) AS rank_fp FROM r5
+        | ORDER BY rank_fp DESC, word LIMIT 10""".stripMargin
   }
 
   /** hits_scores oracle: the shared kNN edge CTE, then every
@@ -2671,6 +2723,26 @@ object SparkEntry {
     "pagerank" -> pagerankOracleSql,
     "hits_scores" -> hitsOracleSql,
     "ppr_scores" -> pprOracleSql,
+    "textrank_words" -> textrankOracleSql,
+    // one-hop neighbor mean in micro fixed point; DuckDB's // floors,
+    // so the truncating-toward-zero div is replayed with a sign split
+    "neighbor_agg" ->
+      s"""$knnEdgeCtes,
+        | und AS (SELECT DISTINCT src, dst FROM (
+        |     SELECT src, dst FROM ed
+        |     UNION ALL SELECT dst AS src, src AS dst FROM ed) u
+        |   WHERE src <> dst),
+        | f AS (SELECT cast(vec_id as bigint) AS id, cast(d as bigint) AS dim,
+        |     cast(floor(v[d + 1] * 1000000 + 0.5) as bigint) AS q
+        |   FROM e CROSS JOIN generate_series(0, 63) t(d)),
+        | g AS (SELECT und.dst AS vec_id, f.dim,
+        |     cast(count(*) as bigint) AS n_nbrs, cast(sum(f.q) as bigint) AS s
+        |   FROM und JOIN f ON und.src = f.id
+        |   GROUP BY und.dst, f.dim)
+        | SELECT vec_id, dim, n_nbrs,
+        |   CASE WHEN s >= 0 THEN s // n_nbrs
+        |        ELSE -((-s) // n_nbrs) END AS mean_fp
+        | FROM g ORDER BY vec_id, dim""".stripMargin,
     // replays the oriented triangle enumeration over the proven kNN
     // edge set: symmetrize a<b, wedge join, closing join, per-vertex
     // fan-out with zero-filled non-participants

@@ -125,6 +125,38 @@ object GraphRank {
     lab
   }
 
+  /** One-hop neighbor mean aggregation — the GraphSAGE/GCN message-
+    * passing primitive as a batch job: every vertex's aggregated
+    * feature is the per-dimension MEAN of its (symmetrized) neighbors'
+    * embeddings, in exact int64 fixed point — each coordinate
+    * quantizes to micro units by the audited round-half-up recipe
+    * (`floor(x·10⁶ + 0.5)`, the integer-cents pattern), the per-(vertex,
+    * dim) reduce is an order-free integer sum, and the mean is one
+    * truncating division — so the aggregated features are bit-identical
+    * across partitionings and engines (float summation order never
+    * enters).
+    *
+    * Output: (id, dim, n_nbrs, mean_fp) exploded rows. Scale shape:
+    * map-side posexplode of the feature vectors → ONE vertex-keyed
+    * equi-join against the edge list → (vertex, dim) partial-agg sum;
+    * work O(|E|·dims) with no corpus-sized state per task, AQE
+    * skew-split on power-law hubs.
+    */
+  def neighborMean(features: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+    val f = features
+      .select(col("id"), posexplode(col("vec")).as(Seq("dim", "x")))
+      .select(col("id"), col("dim").cast("long").as("dim"),
+        floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+    und.join(f, und("src") === f("id"))
+      .groupBy(col("dst").as("id2"), col("dim"))
+      .agg(count(lit(1)).as("n_nbrs"), sum("q").as("s"))
+      .select(col("id2").as("id"), col("dim"), col("n_nbrs"),
+        expr("s div n_nbrs").as("mean_fp"))
+  }
+
   /** Personalized PageRank: the teleport mass restarts at the SEED SET
     * instead of uniformly — rank measures proximity to the seeds, the
     * seed-expansion primitive of curation ("documents like the curated

@@ -154,6 +154,43 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word"))
       .limit(k)
 
+  /** TextRank keyword extraction (Mihalcea & Tarau '04): PageRank over
+    * the word co-occurrence graph — an edge links each ADJACENT token
+    * pair, symmetrized and deduplicated, and [[GraphRank.pageRank]]'s
+    * exact integer fixed point ranks the vocabulary; the top-k words
+    * are the corpus keywords. A composition proof as much as an
+    * operator: the graph-centrality machinery runs unchanged over
+    * STRING vertex ids (the join key never does arithmetic).
+    *
+    * Scale shape: the pair explode is map-side; the distinct and the
+    * per-iteration joins are keyed on WORDS — vocabulary-bounded, not
+    * corpus-bounded (the vocab_topk argument) — and the top-k is
+    * TakeOrderedAndProject. Determinism: pageRank's int64 contract plus
+    * a (rank desc, word asc) total order; the oracle rebuilds the edge
+    * set and unrolls every iteration.
+    */
+  def textRank(docs: DataFrame, iters: Int = 5, k: Int = 10): DataFrame = {
+    val pairs = docs
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(w) - 1, 1)), " +
+          "i -> struct(element_at(w, i) as a, element_at(w, i + 1) as b))"))
+        .as("p"))
+      // 1-token docs emit (w, null) here and nothing in the oracle's
+      // generate_series(1, 0) — the null filter reconciles the two
+      .where(col("p.b").isNotNull && col("p.a") =!= col("p.b") &&
+        length(col("p.a")) > 0 && length(col("p.b")) > 0)
+      .select(least(col("p.a"), col("p.b")).as("x"),
+        greatest(col("p.a"), col("p.b")).as("y"))
+      .distinct()
+    val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    graft.ops.GraphRank.pageRank(nodes, edges, iters)
+      .orderBy(desc("rank_fp"), asc("id")).limit(k)
+      .select(col("id").as("word"), col("rank_fp"))
+  }
+
   /** Per-document unigram entropy — the low-entropy spam/boilerplate
     * filter (keyboard mash, repeated-token padding and template pages
     * all score near 0 bits/token; natural prose sits near log2 of its

@@ -44,6 +44,32 @@ class GraphRankSpec extends AnyFunSuite {
     assert(total >= (Scale * 95L) / 100L, s"total $total lost too much mass")
   }
 
+  test("neighborMean: hand-computed micro fixed point over the symmetrized path") {
+    import spark.implicits._
+    // path 1–2–3 (given directed, symmetrized inside), 1-dim features
+    val feats = Seq((1L, Seq(1.0)), (2L, Seq(0.5)), (3L, Seq(-0.25)))
+      .toDF("id", "vec")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = GraphRank.neighborMean(feats, edges).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3)))).toMap
+    // q: 1000000, 500000, -250000 (all dyadic → exact)
+    assert(r(1L) === ((1L, 500000L)))             // nbr {2}
+    assert(r(2L) === ((2L, 375000L)))             // (1000000 - 250000) div 2
+    assert(r(3L) === ((1L, 500000L)))             // nbr {2}
+  }
+
+  test("textRank: the shared hub word dominates a star co-occurrence graph") {
+    import spark.implicits._
+    val docs = Seq((0L, "hub a"), (1L, "hub b"), (2L, "hub c"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.textRank(docs, k = 4).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.head._1 === "hub", s"hub should rank first: ${r.toSeq}")
+    // the three leaves are structurally identical → identical ranks
+    val leaves = r.filter(_._1 != "hub").map(_._2).toSet
+    assert(r.length === 4 && leaves.size === 1, s"leaf ranks differ: ${r.toSeq}")
+  }
+
   test("personalized PageRank: mass decays with distance from the seed, unreachable stays 0") {
     import spark.implicits._
     // directed path 1→2→3, plus isolated 4; seed = {1}
