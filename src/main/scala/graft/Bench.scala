@@ -72,6 +72,23 @@ object Bench {
     * cores, fixed rows) and weak-scaling (fixed cores, vary rows)
     * protocols. Returns (wall seconds, triples).
     */
+  /** Cluster-faithful per-leg heap: on a real cluster, N → 4N
+    * EXECUTORS brings 4× aggregate memory (each executor owns its
+    * fixed heap), so the single-JVM core-pinned proxy should hold
+    * PER-CORE memory constant, not total — a fixed total heap starves
+    * the 4-core leg into GC pressure a real 4-executor group never
+    * sees (round-5 legs measured 52–112 s GC wall at 4 cores vs
+    * 13–18 s at 1 on the equal-total protocol). Heap = cores ×
+    * SPARK_GRAFT_SCALE_MEM_PER_CORE_GB (default 8 — the 1-core leg is
+    * byte-identical to the old fixed-8g protocol); set the env to 0 to
+    * restore the legacy equal-total model.
+    */
+  private def legHeap(cores: Int): String = {
+    val perCore = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM_PER_CORE_GB", "8").toInt
+    if (perCore <= 0) sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    else s"${perCore * cores}g"
+  }
+
   private def spawnLeg(cpus: Int, pin: Boolean, cores: Int, rows: Long,
                        repos: Int, outDir: String): (Double, Long) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -84,7 +101,7 @@ object Bench {
       "java.base/sun.security.action", "java.base/sun.util.calendar")
     val flags = addOpens.flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      s"-Xmx${legHeap(cores)}",
       sys.env.getOrElse("SPARK_GC", "-XX:+UseParallelGC"))
     val prefix = if (pin) Seq("taskset", "-c", s"${cpus - cores}-${cpus - 1}")
                  else Seq.empty
