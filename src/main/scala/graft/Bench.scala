@@ -89,8 +89,11 @@ object Bench {
     else s"${perCore * cores}g"
   }
 
+  /** One pinned leg. Returns (wall sec, triples, Σ task-sec, Σ GC-sec) —
+    * the task/GC figures feed the scaling JSON's inflation fields.
+    */
   private def spawnLeg(cpus: Int, pin: Boolean, cores: Int, rows: Long,
-                       repos: Int, outDir: String): (Double, Long) = {
+                       repos: Int, outDir: String): (Double, Long, Double, Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val addOpens = Seq(
@@ -116,14 +119,17 @@ object Bench {
     val rc = proc.waitFor()
     // full-line regex: a line merely STARTING with SCALELEG (diag
     // output, executor log) must not reach a destructuring MatchError
-    // that bypasses the require's diagnostic
-    val LegLine = """^SCALELEG (\S+) (\S+)$""".r
+    // that bypasses the require's diagnostic. The task/GC fields are
+    // optional so an older leg binary still parses.
+    val LegLine = """^SCALELEG (\S+) (\S+)(?: (\S+) (\S+))?$""".r
     val line = out.linesIterator.collect {
-      case LegLine(sec, n) => (sec, n)
+      case LegLine(sec, n, task, gc) => (sec, n, task, gc)
     }.toSeq.lastOption
     require(rc == 0 && line.isDefined, s"scale leg failed (rc=$rc): ${out.takeRight(500)}")
-    val (sec, n) = line.get
-    (sec.toDouble, n.toLong)
+    val (sec, n, task, gc) = line.get
+    (sec.toDouble, n.toLong,
+      Option(task).map(_.toDouble).getOrElse(0.0),
+      Option(gc).map(_.toDouble).getOrElse(0.0))
   }
 
   def main(args: Array[String]): Unit = {
@@ -187,18 +193,33 @@ object Bench {
       // leg sharing its only core with interrupt handling pays a noise
       // tax the 4-cpu leg amortizes — an anti-scaling bias
       val pin = sys.env.getOrElse("SPARK_GRAFT_SCALE_PIN", "1") == "1"
-      def timed(c: Int): (Double, Long) =
+      def timed(c: Int): (Double, Long, Double, Double) =
         spawnLeg(cpus, pin, c, scaleRows, scaleRepos, s"/tmp/graft_scale_$c")
       val pairs = (1 to reps).map { _ => (timed(coresA), timed(coresB)) }
-      def effOf(p: ((Double, Long), (Double, Long))): Double = p match {
-        case ((sa, na), (sb, nb)) => (nb / sb) / ((coresB.toDouble / coresA) * (na / sa))
+      type Leg = (Double, Long, Double, Double)
+      def effOf(p: (Leg, Leg)): Double = p match {
+        case ((sa, na, _, _), (sb, nb, _, _)) =>
+          (nb / sb) / ((coresB.toDouble / coresA) * (na / sa))
+      }
+      // per-pair CPU inflation: Σ task-sec of the big leg over the small
+      // leg for IDENTICAL work — 1.0 on an unloaded private box; >1 is
+      // the shared-memory-bus cost (BASELINE.md §8's attribution), and
+      // 1/inflation is the ceiling it imposes on the pair's efficiency.
+      // Publishing the band next to eff_band makes every record
+      // self-attributing: a low median with high inflation is a noisy
+      // host window, not an engine regression.
+      def inflOf(p: (Leg, Leg)): Double = p match {
+        case ((_, _, ta, _), (_, _, tb, _)) => if (ta > 0) tb / ta else 0.0
       }
       // report the least-interfered pair whole (back-to-back A/B pairing,
       // BASELINE.md §5 protocol) AND the full per-rep band, so the record
       // shows the host-noise spread the selection was made over
-      val ((secA, nA), (secB, nB)) = pairs.maxBy(effOf)
+      val best = pairs.maxBy(effOf)
+      val ((secA, nA, taskA, gcA), (secB, nB, taskB, gcB)) = best
       val effs = pairs.map(effOf).sorted
       val band = effs.map(e => f"$e%.3f").mkString("[", ",", "]")
+      val inflBand = pairs.map(inflOf).sorted.map(e => f"$e%.3f")
+        .mkString("[", ",", "]")
       // median of the per-rep band as a first-class field: `efficiency`
       // is the least-interfered pair (max of noisy draws — overstates the
       // center), so the central tendency must travel with it
@@ -211,6 +232,9 @@ object Bench {
       scalingJson = f""","scaling":{"cores_a":$coresA,"sec_a":$secA%.2f,"tps_a":$tpsA%.0f,""" +
         f""""cores_b":$coresB,"sec_b":$secB%.2f,"tps_b":$tpsB%.0f,"efficiency":$eff%.3f,""" +
         f""""eff_median":$median%.3f,"eff_band":$band,""" +
+        f""""task_sec_a":$taskA%.1f,"task_sec_b":$taskB%.1f,""" +
+        f""""gc_sec_a":$gcA%.1f,"gc_sec_b":$gcB%.1f,""" +
+        f""""inflation_best":${inflOf(best)}%.3f,"inflation_band":$inflBand,""" +
         f""""aqe":${sys.env.getOrElse("SPARK_GRAFT_SCALE_AQE", "0") == "1"},"pinned":$pin}"""
     }
 
@@ -232,9 +256,11 @@ object Bench {
       val wRows = sys.env.getOrElse("SPARK_GRAFT_WEAK_ROWS", benchRows.toString).toLong
       val wReps = sys.env.getOrElse("SPARK_GRAFT_WEAK_REPS", "1").toInt
       val pin = sys.env.getOrElse("SPARK_GRAFT_SCALE_PIN", "1") == "1"
-      def leg(rows: Long): (Double, Long) =
-        spawnLeg(cpus, pin, wCores, rows, math.max((rows / 1500).toInt, 1),
-          s"/tmp/graft_weak_$rows")
+      def leg(rows: Long): (Double, Long) = {
+        val (sec, n, _, _) = spawnLeg(cpus, pin, wCores, rows,
+          math.max((rows / 1500).toInt, 1), s"/tmp/graft_weak_$rows")
+        (sec, n)
+      }
       val wPairs = (1 to wReps).map { _ => (leg(wRows), leg(wRows * 2)) }
       def weakEff(p: ((Double, Long), (Double, Long))): Double = p match {
         case ((sa, na), (sb, nb)) => (nb / sb) / (na / sa)

@@ -40,9 +40,16 @@ object ScaleLeg {
     val t = taskTime.get(); val g = gcTime.get()
     val (sec, n) = Bench.pipelineRun(spark, rows.toLong, repos.toInt,
       cores.toInt, outDir)
-    System.err.println(f"SCALELEG-DIAG cores=$cores taskSec=${(taskTime.get - t) / 1000.0}%.0f " +
-      f"gcSec=${(gcTime.get - g) / 1000.0}%.0f wall=$sec%.1f")
+    val taskSec = (taskTime.get - t) / 1000.0
+    val gcSec = (gcTime.get - g) / 1000.0
+    System.err.println(f"SCALELEG-DIAG cores=$cores taskSec=$taskSec%.0f " +
+      f"gcSec=$gcSec%.0f wall=$sec%.1f")
     spark.stop()
-    println(s"SCALELEG $sec $n")
+    // contract line: wall seconds, triples, Σ task-sec, Σ GC-sec. The
+    // task/GC figures let Bench publish the per-pair CPU-inflation ratio
+    // (taskSec_4core / taskSec_1core for IDENTICAL work) in the JSON —
+    // the shared-memory-bus attribution BASELINE.md §8 derives must
+    // travel WITH the efficiency number it explains, not in prose only
+    println(f"SCALELEG $sec $n $taskSec%.1f $gcSec%.1f")
   }
 }

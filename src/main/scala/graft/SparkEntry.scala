@@ -128,6 +128,43 @@ object SparkEntry {
       |     cast(sum(length(bin((cc + vv) // (c + 1))) - 1) as bigint) AS total_bits
       |   FROM sc, v GROUP BY doc_id, is_train)""".stripMargin
 
+  /** Shared CTE chain of the kmeans_* oracles: fixed-point encode
+    * (floor((x+1)·2^20) — all-positive so `//` truncation == floor on
+    * both engines), md5-ranked seed centroids, then `iters` unrolled
+    * Lloyd rounds (integer argmin with the (dist, cid) tie-break, sum//n
+    * centroid update, empty clusters carry the previous centroid) —
+    * ends at the `c<iters>` relation (cid, cv). All distances are exact:
+    * int64 codes ≤ 2^21, inner products ≤ 2^48 < 2^53, so DuckDB's
+    * double-returning list_inner_product is lossless.
+    */
+  private def kmeansCtes(c: Int, iters: Int, dims: Int): String = {
+    def dist(a: String, b: String) =
+      s"list_inner_product($a, $a) + list_inner_product($b, $b)" +
+        s" - 2 * list_inner_product($a, $b)"
+    val head =
+      s"""WITH e AS (SELECT vec_id, list_transform(cast(embedding as double[]),
+        |     x -> cast(floor((x + 1.0) * 1048576.0) as bigint)) AS xq FROM embeddings),
+        | hb AS (SELECT vec_id, xq,
+        |     cast(concat('0x', substr(md5(cast(vec_id as varchar)), 1, 8)) as bigint) % 1000000 AS h
+        |   FROM e),
+        | c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, xq AS cv
+        |   FROM hb ORDER BY h, vec_id LIMIT $c)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""" a$i AS (SELECT t.vec_id, t.xq, c.cid,
+        |     row_number() OVER (PARTITION BY t.vec_id
+        |       ORDER BY ${dist("t.xq", "c.cv")}, c.cid) AS rk
+        |   FROM hb t CROSS JOIN c${i - 1} c),
+        | m$i AS (SELECT vec_id, xq, cid FROM a$i WHERE rk = 1),
+        | s$i AS (SELECT cid, d, cast(sum(xq[d + 1]) as bigint) // cast(count(*) as bigint) AS cx
+        |   FROM m$i CROSS JOIN (SELECT unnest(range(0, $dims)) AS d) dims
+        |   GROUP BY cid, d),
+        | c$i AS (SELECT p.cid, coalesce(l.cv, p.cv) AS cv
+        |   FROM c${i - 1} p LEFT JOIN
+        |     (SELECT cid, list(cx ORDER BY d) AS cv FROM s$i GROUP BY cid) l USING (cid))""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   /** Shared CTE chain of the substring-dedup oracles: stride-1 10-word
     * grams, per-gram first/second owners, cross-doc hit positions, the
     * pos−prev ≤ k island merge — ends at the `spans` relation
@@ -1534,6 +1571,15 @@ object SparkEntry {
     "semantic_dedup" -> ((s, dir) =>
       graft.ops.Dedup.semanticDedup(t(s, dir, "embeddings"), tau = 0.40)
         .orderBy("vec_id")),
+    // fully DISTRIBUTED fixed-point Lloyd k-means (every vector in every
+    // round — the "model is the output" fit, vs fitCentroids' bounded
+    // sample): md5-ranked seeds, integer-argmin assignment, order-free
+    // int64 centroid update; the oracle unrolls all 3 Lloyd rounds
+    "kmeans_assign" -> ((s, dir) =>
+      graft.ops.KMeans.assign(t(s, dir, "embeddings")).orderBy("vec_id")),
+    "kmeans_centroids" -> ((s, dir) =>
+      graft.ops.KMeans.centroidTable(s, t(s, dir, "embeddings"))
+        .orderBy("cluster", "dim")),
     // Adamic-Adar link prediction over the exact kNN graph: top-50
     // non-adjacent pairs by integer-micro sum of 1/log2(deg) over
     // common neighbors — wedge join + anti-join + partial agg, every
@@ -3312,6 +3358,27 @@ object SparkEntry {
         |   FROM hits WHERE cos >= 0.40)
         | SELECT vec_id, cluster, anchor AS dup_of, round(cos, 6) AS cosine
         | FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // replays the distributed Lloyd fit end-to-end (kmeansCtes: encode,
+    // md5 seeds, 3 unrolled rounds), then one final integer-argmin
+    // assignment against the fitted centroids with the exact distance
+    "kmeans_assign" ->
+      s"""${kmeansCtes(8, 3, 64)},
+        | a4 AS (SELECT t.vec_id, c.cid,
+        |     cast(list_inner_product(t.xq, t.xq) + list_inner_product(c.cv, c.cv)
+        |       - 2 * list_inner_product(t.xq, c.cv) as bigint) AS dist,
+        |     row_number() OVER (PARTITION BY t.vec_id
+        |       ORDER BY list_inner_product(t.xq, t.xq) + list_inner_product(c.cv, c.cv)
+        |         - 2 * list_inner_product(t.xq, c.cv), c.cid) AS rk
+        |   FROM hb t CROSS JOIN c3 c)
+        | SELECT vec_id, cast(cid as bigint) AS cluster, dist AS dist_fixed
+        | FROM a4 WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    // the fitted model itself, dim-exploded — C*D = 512 exact int64 cells
+    "kmeans_centroids" ->
+      s"""${kmeansCtes(8, 3, 64)}
+        | SELECT cast(cid as bigint) AS cluster, cast(d as bigint) AS dim,
+        |   cast(cv[d + 1] as bigint) AS c_fixed
+        | FROM c3 CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dims
+        | ORDER BY cluster, dim""".stripMargin,
     // the shared kNN edge CTE symmetrized, then wedge enumeration,
     // existing-edge exclusion, and the integer 1000000//milliLog2(deg)
     // Adamic-Adar weights — identical arithmetic to the engine
