@@ -1580,6 +1580,30 @@ object SparkEntry {
     "kmeans_centroids" -> ((s, dir) =>
       graft.ops.KMeans.centroidTable(s, t(s, dir, "embeddings"))
         .orderBy("cluster", "dim")),
+    // DeepWalk-style random-walk corpus over the exact kNN graph:
+    // per hop one frontier⋈edges equi-join + a min_by partial agg on
+    // the md5-derandomized choice key; the oracle unrolls all 4 hops
+    "walk_corpus" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = SimilaritySearch.neighborGraph(emb, k = 5, exact = true)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+      val nodes = emb.select(col("vec_id").cast("long").as("id"))
+      graft.ops.GraphRank.randomWalks(nodes, edges, steps = 4)
+        .orderBy("walk_id", "step")
+    }),
+    // contrastive hard-negative mining: per anchor the top-5 most-
+    // similar CROSS-label vectors from its portable hyperplane bucket
+    // (rank-capped candidate side — linear, never all-pairs)
+    "hard_negatives" -> ((s, dir) =>
+      graft.ops.Contrastive.hardNegatives(t(s, dir, "embeddings"))
+        .orderBy("vec_id", "rank")),
+    // multi-pass sorted-neighborhood blocking (prefix + reversed-suffix
+    // keys), explode-probe successor pairing, exact integer word-3-gram
+    // Jaccard verify — the classic ER family next to the hash ones
+    "snm_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"))
+        .orderBy("a", "b")),
     // Adamic-Adar link prediction over the exact kNN graph: top-50
     // non-adjacent pairs by integer-micro sum of 1/log2(deg) over
     // common neighbors — wedge join + anti-join + partial agg, every
@@ -3379,6 +3403,83 @@ object SparkEntry {
         |   cast(cv[d + 1] as bigint) AS c_fixed
         | FROM c3 CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dims
         | ORDER BY cluster, dim""".stripMargin,
+    // replays every hop of the derandomized walk: the shared kNN edge
+    // CTE, then per hop the md5("walk_t_dst") % 10^6 choice key and the
+    // (h, dst) row_number argmin — identical to the engine's min_by
+    "walk_corpus" -> {
+      def hop(t: Int) =
+        s""",
+          | s$t AS (SELECT f.walk_id, e.dst,
+          |     cast(concat('0x', substr(md5(concat(cast(f.walk_id as varchar), '_${t}_', cast(e.dst as varchar))), 1, 8)) as bigint) % 1000000 AS h
+          |   FROM f${t - 1} f JOIN ed e ON f.node = e.src),
+          | f$t AS (SELECT walk_id, dst AS node FROM (
+          |     SELECT walk_id, dst, row_number() OVER (PARTITION BY walk_id ORDER BY h, dst) AS rn
+          |     FROM s$t) WHERE rn = 1)""".stripMargin
+      s"""$knnEdgeCtes,
+        | f0 AS (SELECT id AS walk_id, id AS node FROM nodes)${(1 to 4).map(hop).mkString}
+        | SELECT walk_id, cast(st as bigint) AS step, node FROM (
+        |   SELECT walk_id, 0 AS st, node FROM f0
+        |   UNION ALL SELECT walk_id, 1, node FROM f1
+        |   UNION ALL SELECT walk_id, 2, node FROM f2
+        |   UNION ALL SELECT walk_id, 3, node FROM f3
+        |   UNION ALL SELECT walk_id, 4, node FROM f4)
+        | ORDER BY walk_id, step""".stripMargin
+    },
+    // the embedding_neardup_portable plane/bucket replay, kept per-label:
+    // capped candidate side, cross-label filter, per-anchor top-5 by
+    // (cosine DESC, neg_id) — ordering on the raw doubles both engines
+    // compute in the same op order, round-6 only at output
+    "hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, cast(embedding as double[]) AS v FROM embeddings),
+        | planes AS (SELECT b, list_transform(generate_series(0, 63),
+        |     d -> ((cast(concat('0x', substr(md5(concat(b, '_', d)), 1, 8)) as bigint) % 2001) - 1000) / 1000.0) AS p
+        |   FROM generate_series(0, 7) t(b)),
+        | sigs AS (SELECT e.vec_id,
+        |     string_agg(CASE WHEN list_inner_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END, '' ORDER BY pl.b) AS bucket
+        |   FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+        | sv AS (SELECT s.vec_id, s.bucket, e.label, e.v FROM sigs s JOIN e USING (vec_id)),
+        | cand AS (SELECT vec_id, bucket, label, v,
+        |     row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk FROM sv),
+        | scored AS (SELECT a.vec_id, c.vec_id AS neg_id,
+        |     list_cosine_similarity(a.v, c.v) AS cos_raw
+        |   FROM sv a JOIN cand c USING (bucket)
+        |   WHERE c.rk <= 64 AND a.label <> c.label),
+        | rk AS (SELECT vec_id, neg_id, cos_raw,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY cos_raw DESC, neg_id) AS rnk
+        |   FROM scored)
+        | SELECT vec_id, neg_id, cast(rnk as bigint) AS rank, round(cos_raw, 6) AS cosine
+        | FROM rk WHERE rnk <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // both SNM passes (prefix / reversed-suffix keys), the per-(pass,
+    // block) rank, the w=2 successor window, first-pass pair dedup, and
+    // the exact integer gram counts + truncating permille
+    "snm_pairs" ->
+      """WITH nrm AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt, text FROM documents),
+        | keyed AS (
+        |   SELECT doc_id, 1 AS pass, substr(nt, 1, 16) AS key FROM nrm
+        |   UNION ALL
+        |   SELECT doc_id, 2 AS pass, substr(reverse(nt), 1, 16) AS key FROM nrm),
+        | ranked AS (SELECT doc_id, pass, key, substr(key, 1, 8) AS block,
+        |     row_number() OVER (PARTITION BY pass, substr(key, 1, 8) ORDER BY key, doc_id) AS rk
+        |   FROM keyed),
+        | pairs AS (SELECT p.pass, least(p.doc_id, q.doc_id) AS a, greatest(p.doc_id, q.doc_id) AS b
+        |   FROM ranked p JOIN ranked q
+        |     ON p.pass = q.pass AND p.block = q.block
+        |    AND q.rk > p.rk AND q.rk <= p.rk + 2),
+        | uniq AS (SELECT pass, a, b,
+        |     row_number() OVER (PARTITION BY a, b ORDER BY pass) AS pn FROM pairs),
+        | grams AS (SELECT doc_id, list_distinct(list_transform(
+        |     range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |     i -> array_to_string(string_split(text, ' ')[i + 1: i + 3], ' '))) AS g FROM nrm),
+        | sel AS (SELECT u.pass, u.a, u.b,
+        |     len(list_intersect(ga.g, gb.g)) AS inter_grams,
+        |     len(list_distinct(list_concat(ga.g, gb.g))) AS union_grams
+        |   FROM uniq u JOIN grams ga ON u.a = ga.doc_id JOIN grams gb ON u.b = gb.doc_id
+        |   WHERE u.pn = 1)
+        | SELECT cast(pass as bigint) AS pass, a, b,
+        |   cast(inter_grams as bigint) AS inter_grams,
+        |   cast(union_grams as bigint) AS union_grams,
+        |   cast((1000 * inter_grams) // union_grams as bigint) AS jac_permille
+        | FROM sel ORDER BY a, b""".stripMargin,
     // the shared kNN edge CTE symmetrized, then wedge enumeration,
     // existing-edge exclusion, and the integer 1000000//milliLog2(deg)
     // Adamic-Adar weights — identical arithmetic to the engine

@@ -612,4 +612,76 @@ object Dedup {
       .select(col("vec_id"), col("cluster"), col("anchor").as("dup_of"),
         round(col("cos_raw"), 6).as("cosine"))
   }
+
+  /** Multi-pass sorted-neighborhood near-dup candidates (Hernández &
+    * Stolfo's SNM — the classic entity-resolution blocking family the
+    * hash-based ones here don't cover): sort the corpus by a normalized
+    * key, pair each document with its `win` successors in sort order,
+    * and exact-verify each candidate with word-3-gram Jaccard. Two
+    * passes with complementary keys — the normalized text PREFIX and
+    * the REVERSED normalized suffix — so an edit at either end of a
+    * document cannot hide it from both sort orders (the standard
+    * multi-pass fix for SNM's single-key blind spot).
+    *
+    * No global sort: ranking is windowed per (pass, 8-char key block) —
+    * documents in different blocks share no key prefix and cannot be
+    * sort-adjacent anyway, so blocking loses nothing while keeping
+    * every partition bounded. The successor pairing is the explode-
+    * probe trick: each ranked row emits `win` (block, rank+i) probes
+    * equi-joined back against the ranked table — pair construction is
+    * strictly linear (win rows per document), never the K² a raw
+    * range-condition join on the block key would stage. At 100 TB the
+    * block length is the skew lever: longer blocks → more, smaller
+    * sort groups.
+    *
+    * Fully portable: the key is pure string normalization, ranks are
+    * deterministic (key, doc_id) row_numbers, and the verify emits
+    * exact integer gram counts plus a truncating `1000·inter div union`
+    * permille — no float anywhere.
+    *
+    * @return (pass, a, b, inter_grams, union_grams, jac_permille), one
+    *         row per in-window candidate pair with `a < b`, deduped
+    *         across passes by keeping the lowest pass that found it.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, win: Int = 2,
+                              keyLen: Int = 16, blockLen: Int = 8,
+                              n: Int = 3): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9]", "")
+    val keyed = docs.select(
+        col("doc_id"),
+        substring(norm, 1, keyLen).as("key1"),
+        substring(reverse(norm), 1, keyLen).as("key2"))
+      .select(col("doc_id"), explode(array(
+        struct(lit(1L).as("pass"), col("key1").as("key")),
+        struct(lit(2L).as("pass"), col("key2").as("key")))).as("pk"))
+      .select(col("doc_id"), col("pk.pass").as("pass"), col("pk.key").as("key"),
+        substring(col("pk.key"), 1, blockLen).as("block"))
+    val w = Window.partitionBy("pass", "block").orderBy("key", "doc_id")
+    // localCheckpoint: ranked is self-joined (probe + target side)
+    val ranked = keyed.withColumn("rk", row_number().over(w).cast("long"))
+      .localCheckpoint(false)
+    val probes = ranked
+      .withColumn("trk", explode(sequence(col("rk") + 1, col("rk") + win)))
+      .select(col("pass"), col("block"), col("trk"), col("doc_id").as("da"))
+    val pairs = probes
+      .join(ranked.select(col("pass"), col("block"), col("rk").as("trk"),
+        col("doc_id").as("db")), Seq("pass", "block", "trk"))
+      .select(col("pass"), least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"))
+    val firstPass = Window.partitionBy("a", "b").orderBy("pass")
+    val uniq = pairs.withColumn("pn", row_number().over(firstPass))
+      .where(col("pn") === 1).select("pass", "a", "b")
+    val grams = docs.select(col("doc_id"),
+      expr(s"array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - $n, 0)), " +
+        s"i -> array_join(slice(split(text, ' '), i + 1, $n), ' ')))").as("g"))
+    uniq
+      .join(grams.select(col("doc_id").as("a"), col("g").as("ga")), Seq("a"))
+      .join(grams.select(col("doc_id").as("b"), col("g").as("gb")), Seq("b"))
+      .select(col("pass"), col("a"), col("b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter_grams"),
+        size(array_union(col("ga"), col("gb"))).cast("long").as("union_grams"))
+      // integer `div`, not float /: both operands positive, so Spark's
+      // truncation == DuckDB's floor `//` (the oracle-parity rule)
+      .withColumn("jac_permille", expr("(1000 * inter_grams) div union_grams"))
+  }
 }

@@ -373,6 +373,52 @@ object GraphRank {
       .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 
+  /** DeepWalk-style random-walk corpus generation: one walk of
+    * `steps` hops from every vertex, producing the (walk, position,
+    * node) sequences a skip-gram embedding trains on (Perozzi et al.
+    * 2014 — the graph-to-training-data bridge; the walked graph here is
+    * any graft edge set, e.g. the kNN similarity graph).
+    *
+    * The "random" neighbor choice is DERANDOMIZED the portable way:
+    * hop `t` of walk `w` at node `u` goes to the out-neighbor `d`
+    * minimizing `md5("w_t_d") % 10^6` (ties by `d`) — per-walk,
+    * per-step independent pseudo-randomness that both engines compute
+    * from their own md5, so the whole corpus is bit-reproducible
+    * across partitionings, reruns, and engines (same derandomization
+    * every portable twin here uses; true RNG would also break resume).
+    * Walks stop early at sinks (no out-edges) — positions are then
+    * simply absent, the skip-gram consumer's natural contract.
+    *
+    * Scale shape: per hop ONE equi-join of the frontier (≤ one row per
+    * walk) against the edge list keyed on the current node — AQE-skew-
+    * splittable when a hub node hosts many walks — and one partial-agg
+    * `min_by` keyed on walk id, so hop cost is O(walks · out-degree)
+    * with no corpus-sized state anywhere; `localCheckpoint` truncates
+    * the per-hop lineage exactly like [[bfsLayers]]. The union of
+    * `steps`+1 bounded frontiers is the output.
+    */
+  def randomWalks(nodes: DataFrame, edges: DataFrame, steps: Int = 4): DataFrame = {
+    val ed = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var frontier = nodes
+      .select(col("id").as("walk_id"), col("id").as("node"))
+      .localCheckpoint(true)
+    val parts = Seq.newBuilder[DataFrame]
+    parts += frontier.withColumn("step", lit(0L))
+    for (t <- 1 to steps) {
+      frontier = frontier
+        .join(ed.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("walk_id"), col("dst"),
+          CurationPipeline.hashBucket(
+            concat_ws("_", col("walk_id"), lit(t), col("dst"))).as("h"))
+        .groupBy("walk_id")
+        .agg(min_by(col("dst"), struct(col("h"), col("dst"))).as("node"))
+        .localCheckpoint(true)
+      parts += frontier.withColumn("step", lit(t.toLong))
+    }
+    parts.result().reduce(_ unionByName _)
+      .select(col("walk_id"), col("step"), col("node"))
+  }
+
   def bfsLayers(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
                 rounds: Int = 4): DataFrame = {
     val und = edges.select(col("src"), col("dst"))

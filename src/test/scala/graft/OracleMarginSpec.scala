@@ -346,4 +346,25 @@ class OracleMarginSpec extends AnyFunSuite {
     info(f"min round-6 boundary margin of dropped-vector cosines: $r6%.2e")
     assert(r6 > 1e-6, f"a dropped cosine sits $r6%.2e from a round-6 boundary")
   }
+
+  test("hard_negatives: emitted cosines keep round-6 margin, rank cut is untied") {
+    // selection is rank-based on RAW doubles (identical cross-engine),
+    // so the only portability surface is the round-6 output column —
+    // plus the rank-5/6 boundary, which must not be decided by a
+    // cosine TIE between different neg_ids (the neg_id tie-break is
+    // deterministic, but a tie AT the cut would make the emitted SET
+    // depend on it, worth pinning on the fixture)
+    val raw = graft.ops.Contrastive.hardNegativesRaw(emb
+        .select(col("vec_id"), col("label"), col("v").as("embedding")), k = 6)
+      .localCheckpoint(true)
+    val r6 = raw.where(col("rank") <= 5)
+      .agg(min(roundMargin(col("cos_raw"), 6))).collect()(0).getDouble(0)
+    info(f"min round-6 boundary margin of emitted cosines: $r6%.2e")
+    assert(r6 > 1e-6, f"an emitted cosine sits $r6%.2e from a round-6 boundary")
+    val cut = raw.groupBy("vec_id")
+      .agg(min(when(col("rank") === 5, col("cos_raw"))).as("c5"),
+        min(when(col("rank") === 6, col("cos_raw"))).as("c6"))
+      .where(col("c6").isNotNull && col("c5") === col("c6")).count()
+    assert(cut === 0, s"$cut anchors have a cosine tie exactly at the rank-5 cut")
+  }
 }
