@@ -1604,6 +1604,19 @@ object SparkEntry {
     "snm_pairs" -> ((s, dir) =>
       graft.ops.Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"))
         .orderBy("a", "b")),
+    // greedy facility-location (max-coverage) selection: 8 exact greedy
+    // rounds, argmax marginal distinct-3-gram gain, doc_id tie-break;
+    // the oracle unrolls every round as chained CTEs
+    "coverage_select" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.ops.Selection.greedyCoverageSelect(t(s, dir, "documents"))
+        .orderBy("round")
+    }),
+    // signed feature hashing (hashing-trick vectorizer) + exact integer
+    // sparse-dot retrieval: broadcast query vector, bucket-keyed
+    // multiply, partial-agg per-doc sum, TakeOrdered cut — no floats
+    "hashtf_topk" -> ((s, dir) =>
+      graft.ops.Retrieval.hashedTfTopK(t(s, dir, "documents"))),
     // Adamic-Adar link prediction over the exact kNN graph: top-50
     // non-adjacent pairs by integer-micro sum of 1/log2(deg) over
     // common neighbors — wedge join + anti-join + partial agg, every
@@ -3480,6 +3493,50 @@ object SparkEntry {
         |   cast(union_grams as bigint) AS union_grams,
         |   cast((1000 * inter_grams) // union_grams as bigint) AS jac_permille
         | FROM sel ORDER BY a, b""".stripMargin,
+    // every greedy round unrolled: marginal gain = distinct 3-grams not
+    // yet covered by earlier picks, argmax by (gain DESC, doc_id)
+    "coverage_select" -> {
+      val head =
+        """WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          |     range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+          |     i -> array_to_string(string_split(text, ' ')[i + 1: i + 3], ' ')))) AS gram
+          |   FROM documents),
+          | m1 AS (SELECT doc_id, count(*) AS gain FROM g GROUP BY doc_id),
+          | p1 AS (SELECT 1 AS round, doc_id, gain FROM m1 ORDER BY gain DESC, doc_id LIMIT 1),
+          | s1 AS (SELECT DISTINCT gram FROM g JOIN p1 USING (doc_id)),
+          | d1 AS (SELECT doc_id FROM p1)""".stripMargin
+      val rounds = (2 to 8).map { i =>
+        s""",
+          | m$i AS (SELECT g.doc_id, count(*) AS gain FROM g
+          |   WHERE g.doc_id NOT IN (SELECT doc_id FROM d${i - 1})
+          |     AND g.gram NOT IN (SELECT gram FROM s${i - 1})
+          |   GROUP BY g.doc_id),
+          | p$i AS (SELECT $i AS round, doc_id, gain FROM m$i ORDER BY gain DESC, doc_id LIMIT 1),
+          | s$i AS (SELECT gram FROM s${i - 1} UNION
+          |   SELECT gram FROM g JOIN p$i USING (doc_id)),
+          | d$i AS (SELECT doc_id FROM d${i - 1} UNION SELECT doc_id FROM p$i)""".stripMargin
+      }.mkString
+      val union = (1 to 8).map(i => s"SELECT * FROM p$i").mkString(" UNION ALL ")
+      s"""$head$rounds
+        | SELECT cast(round as bigint) AS round, doc_id,
+        |   cast(gain as bigint) AS marginal_gain
+        | FROM ($union) ORDER BY round""".stripMargin
+    },
+    // the hashing-trick vectorizer replayed from DuckDB's own md5:
+    // bucket = md5(token) % 256, sign = md5('s_'+token) % 2, exact
+    // integer sparse dot against the doc-0 query vector
+    "hashtf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        | tf0 AS (SELECT doc_id,
+        |     cast(concat('0x', substr(md5(token), 1, 8)) as bigint) % 256 AS bucket,
+        |     sum(CASE WHEN cast(concat('0x', substr(md5(concat('s_', token)), 1, 8)) as bigint) % 2 = 1
+        |       THEN 1 ELSE -1 END) AS v
+        |   FROM tok GROUP BY doc_id, bucket),
+        | tf AS (SELECT * FROM tf0 WHERE v <> 0),
+        | q AS (SELECT bucket, v AS qv FROM tf WHERE doc_id = 0)
+        | SELECT t.doc_id, cast(sum(t.v * q.qv) as bigint) AS dot
+        | FROM tf t JOIN q USING (bucket) WHERE t.doc_id <> 0
+        | GROUP BY t.doc_id ORDER BY dot DESC, doc_id LIMIT 20""".stripMargin,
     // the shared kNN edge CTE symmetrized, then wedge enumeration,
     // existing-edge exclusion, and the integer 1000000//milliLog2(deg)
     // Adamic-Adar weights — identical arithmetic to the engine

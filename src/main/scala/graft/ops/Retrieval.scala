@@ -133,4 +133,45 @@ object Retrieval {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .select(col("term"), col("doc_id"), col("tf"), col("df"))
   }
+
+  /** Signed feature hashing (the hashing-trick vectorizer — Weinberger
+    * et al. 2009; HashingTF with the collision-debiasing ± sign): every
+    * token lands in `md5(token) % dims` with sign `md5("s_" + token) % 2`,
+    * so each document becomes a fixed-`dims` SPARSE integer vector with
+    * no vocabulary table — the model-free text vectorization a feature
+    * pipeline applies before any learned embedding exists.
+    *
+    * Everything is int64 (signed counts, exact dot products) — no
+    * rounding surface anywhere. Scale shape: map-side explode →
+    * (doc, bucket) partial-agg sum; `dims` caps the per-doc row count,
+    * the hashing trick's whole point.
+    */
+  def hashedTf(docs: DataFrame, dims: Int = 256): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"),
+        CurationPipeline.hashBucket(col("token"), dims).as("bucket"),
+        when(CurationPipeline.hashBucket(concat(lit("s_"), col("token")), 2) === 1,
+          lit(1L)).otherwise(lit(-1L)).as("sgn"))
+      .groupBy("doc_id", "bucket").agg(sum("sgn").as("v"))
+      .where(col("v") =!= 0)
+
+  /** Top-`k` documents most similar to `queryDoc` by EXACT integer dot
+    * product of their hashed-TF vectors: the sparse-vector retrieval
+    * leg that needs no embedding model and no float anywhere.
+    *
+    * Scale shape: the query vector is ≤ `dims` rows → broadcast; the
+    * dot is a bucket-keyed map-side multiply + per-doc partial-agg sum;
+    * the cut is TakeOrderedAndProject. Documents sharing no bucket with
+    * the query never materialize a row (inner-join sparsity).
+    */
+  def hashedTfTopK(docs: DataFrame, queryDoc: Long = 0L, k: Int = 20,
+                   dims: Int = 256): DataFrame = {
+    val tf = hashedTf(docs, dims).localCheckpoint(false)
+    val q = tf.where(col("doc_id") === queryDoc)
+      .select(col("bucket"), col("v").as("qv"))
+    tf.where(col("doc_id") =!= queryDoc)
+      .join(broadcast(q), Seq("bucket"))
+      .groupBy("doc_id").agg(sum(col("v") * col("qv")).as("dot"))
+      .orderBy(desc("dot"), asc("doc_id")).limit(k)
+  }
 }

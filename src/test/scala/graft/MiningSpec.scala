@@ -96,4 +96,47 @@ class MiningSpec extends AnyFunSuite {
     assert(dup === 0, "a pair was emitted by both passes")
     assert(pairs.where(col("a") >= col("b")).count() === 0, "pair not normalized a < b")
   }
+
+  test("greedyCoverageSelect: gains non-increasing, picks distinct, coverage adds up") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val picks = graft.ops.Selection.greedyCoverageSelect(docs, k = 5)
+      .orderBy("round").collect()
+    assert(picks.length === 5)
+    assert(picks.map(_.getLong(1)).distinct.length === 5, "a document picked twice")
+    val gains = picks.map(_.getLong(2))
+    assert(gains.zip(gains.tail).forall { case (a, b) => b <= a },
+      s"submodularity violated: ${gains.mkString(",")}")
+    // Σ marginal gains == distinct grams covered by the picked set
+    val grams = docs.where(col("doc_id").isInCollection(picks.map(_.getLong(1))))
+      .select(explode(expr(
+        "array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)), " +
+          "i -> array_join(slice(split(text, ' '), i + 1, 3), ' ')))")).as("g"))
+      .agg(countDistinct("g")).head().getLong(0)
+    assert(gains.sum === grams, s"gain ledger ${gains.sum} != covered grams $grams")
+    // round 1 is the plain argmax over per-doc distinct gram counts
+    val best = docs.select(col("doc_id"), expr(
+        "size(array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)), " +
+          "i -> array_join(slice(split(text, ' '), i + 1, 3), ' '))))").as("n"))
+      .orderBy(desc("n"), asc("doc_id")).head()
+    assert(picks(0).getLong(1) === best.getLong(0) && gains(0) === best.getInt(1).toLong)
+  }
+
+  test("hashedTfTopK: integer dots match a direct per-pair computation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Retrieval.hashedTfTopK(docs, queryDoc = 0L, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 10 && !got.contains(0L))
+    // recompute the dot for the returned docs straight from the token
+    // streams (no bucket join) — same vectors, independent plan
+    val tf = graft.ops.Retrieval.hashedTf(docs).localCheckpoint(true)
+    val q = tf.where(col("doc_id") === 0L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val direct = tf.where(col("doc_id").isInCollection(got.keys.toSeq))
+      .collect().groupBy(_.getLong(0)).map { case (d, rows) =>
+        d -> rows.map(r => q.getOrElse(r.getLong(1), 0L) * r.getLong(2)).sum
+      }
+    got.foreach { case (d, dot) =>
+      assert(direct(d) === dot, s"doc $d: joined dot $dot != direct ${direct(d)}")
+    }
+  }
 }
