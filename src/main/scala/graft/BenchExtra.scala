@@ -25,13 +25,21 @@ object BenchExtra {
       Bench.session(cores)
     import graft.canon.{Dbscan, KnnJoin, SimilarityPipeline => SP}
 
+    val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) taskMs.addAndGet(te.taskMetrics.executorRunTime)
+    })
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     def timed[A](label: String)(f: => A): A = {
       spark.sparkContext.setJobDescription(label)
-      val t0 = System.nanoTime()
+      val t0 = System.nanoTime(); val m0 = taskMs.get()
       val r = f
-      println(f"[bench-extra] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      // small sleep so straggler task-end events land in the window
+      Thread.sleep(150)
+      println(f"[bench-extra] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        f"  task=${(taskMs.get() - m0) / 1000.0}%8.1f s")
       spark.sparkContext.setJobDescription(null)
       r
     }
@@ -80,6 +88,13 @@ object BenchExtra {
       timed("knn_content_total")(noop(KnnJoin.approxTopK(stdCont, SP.K, selfRank = true)))
     }
 
+    if (want("knncand")) {
+      val stdTele = SP.standardize(tele)
+      val stdCont = SP.standardize(cont)
+      timed("knn_tele_cands")(noop(KnnJoin.lshCandidates(stdTele, SP.K, selfRank = true)))
+      timed("knn_content_cands")(noop(KnnJoin.lshCandidates(stdCont, SP.K, selfRank = true)))
+    }
+
     if (want("dbscan")) timed("dbscan_approx") {
       val stdTele = SP.standardize(tele)
       noop(Dbscan.clusterApprox(stdTele, 1.0, 5, maxDegree = 16))
@@ -88,6 +103,16 @@ object BenchExtra {
     if (want("simall")) timed("similarity_run_total") {
       val (t, n) = SP.run(frames, labels, exact = false)
       noop(t); noop(n)
+    }
+
+    // full pipelineRun (corpus → runFull → partitioned write), the exact
+    // timed region of a scaling leg, as one attributable block
+    if (want("pipe")) timed("pipeline_run_write") {
+      graft.pipeline.KgPipeline.write(
+        graft.pipeline.KgPipeline.runFull(
+          CorpusGen.corpus(spark, CorpusGen.Config(rows, nRepos,
+            partitions = cores * 2)), exactKnn = false),
+        "/tmp/graft_extra_pipe")
     }
 
     spark.stop()

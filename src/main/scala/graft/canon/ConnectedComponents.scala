@@ -84,8 +84,11 @@ object ConnectedComponents {
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val e = edges.select(col("srcS").as("src"), col("dstS").as("dst"))
-    if (e.limit((collectThreshold + 1).toInt).count() <= collectThreshold) {
-      val local = e.as[(String, String)].collect()
+    // one execution decides AND fetches: the previous limit+count probe
+    // re-ran the whole edge derivation a second time for the collect
+    val probe = e.limit((collectThreshold + 1).toInt).as[(String, String)].collect()
+    if (probe.length <= collectThreshold) {
+      val local = probe
       val parent = scala.collection.mutable.Map[String, String]()
       def find(x: String): String = {
         val p = parent.getOrElseUpdate(x, x)

@@ -36,9 +36,14 @@ object Dbscan {
     */
   def clusterApprox(points: DataFrame, eps: Double, minPts: Int,
                     maxDegree: Int = 16)(implicit spark: SparkSession): DataFrame = {
-    val pts = points.select(col("id"), col("group"), col("vec"))
-      .withColumn("cell", concat_ws(",", col("group"),
-        expr("array_join(transform(vec, v -> cast(floor(v / " + eps + ") as string)), '_')")))
+    // project early (guide §2.3): the vectors are consumed entirely by
+    // the cell expression — dropping them here keeps them out of the
+    // persisted rows and every downstream exchange (the final
+    // cell→cluster join used to shuffle the full vec payload)
+    val pts = points.select(col("id"), col("group"),
+        concat_ws(",", col("group"),
+          expr("array_join(transform(vec, v -> cast(floor(v / " + eps + ") as string)), '_')"))
+          .as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cellCounts = pts.groupBy("group", "cell").agg(count(lit(1)).as("cnt"))

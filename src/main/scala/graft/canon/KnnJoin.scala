@@ -157,13 +157,80 @@ object KnnJoin {
     * row pairs only with its ±`window` positional neighbors — exactly
     * 2·window·tables candidates per row. Buckets of ≤ window+1 rows are
     * still paired exhaustively, so fixture-scale recall is unchanged
-    * (CanonSpec's 0.8 floor). The per-bucket row_number is the only
-    * skew-sensitive step, and it ranks scalars, not vectors.
+    * (CanonSpec's 0.8 floor).
+    *
+    * Physical shape (optimization round 6, guide §2.3/§2.4): ONE
+    * exchange. The bucket rows are co-located with `repartition(group,
+    * t, sig)` + `sortWithinPartitions(..., p, id)` — the identical
+    * order the previous row_number() window assigned — and a single
+    * mapPartitions pass walks each sorted bucket with a `window`-sized
+    * ring buffer, scoring the exact same Δpos ∈ [1, window] pairs the
+    * old positional-block self-join produced, accumulating a bounded
+    * per-src top-k in a task-local hash map (same (distance, dst) tie
+    * rule and per-dst min dedup as [[TopKNeighborsLong]], so pruning is
+    * safe by the same subset argument the partial aggregation relies
+    * on). The previous plan shuffled the VECTORS four times (window
+    * rank, localCheckpoint, both join sides) and fed ~2·window·tables
+    * candidate rows per input row through the aggregator; this plan
+    * shuffles them once and hands the final groupBy ≤ tables·k rows per
+    * src. Candidate pair set, distances, and tie-breaks are unchanged —
+    * results are identical (CanonSpec + the driver's knn oracle gates).
     */
   def approxTopK(feat: DataFrame, k: Int, tables: Int = 4, bits: Int = 8,
                  seed: Long = 42L, selfRank: Boolean = false,
                  window: Int = 8, compact: Boolean = false,
                  portable: Boolean = false): DataFrame = {
+    // final cross-task merge: repartition the per-task top-k PARTIALS
+    // (≤ k entries per (src, task), one array row each) by src and run
+    // the same bounded-insert merge in a typed mapPartitions. This
+    // replaces the ScalaAggregator groupBy, whose per-row encoder
+    // round-trip and Seq-buffer serialize/merge dominated the whole kNN
+    // (70 of ~87 task-s on the 4-core probe); semantics are unchanged —
+    // per-dst min dedup then k smallest by (distance, dst) — so results
+    // are identical to the aggregator path exactTopK still uses.
+    val (partials, idType) = lshPartials(feat, k, tables, bits, seed,
+      selfRank, window, compact, portable)
+    val merged: DataFrame =
+      if (idType == org.apache.spark.sql.types.LongType)
+        partials.repartition(col("src"))
+          .as[PartL](org.apache.spark.sql.Encoders.product[PartL])
+          .mapPartitions(it => mergeLong(it, k))(
+            org.apache.spark.sql.Encoders.product[CandL]).toDF()
+      else
+        partials.repartition(col("src"))
+          .as[PartS](org.apache.spark.sql.Encoders.product[PartS])
+          .mapPartitions(it => mergeStr(it, k))(
+            org.apache.spark.sql.Encoders.product[CandS]).toDF()
+          .select(col("src").cast(idType).as("src"),
+            col("dst").cast(idType).as("dst"), col("distance"))
+    merged.where(col("src") =!= col("dst"))
+  }
+
+  /** Row-level candidate view of [[lshPartials]] (measurement harness
+    * only — [[approxTopK]] merges the array partials directly).
+    */
+  private[graft] def lshCandidates(
+                 feat: DataFrame, k: Int, tables: Int = 4, bits: Int = 8,
+                 seed: Long = 42L, selfRank: Boolean = false,
+                 window: Int = 8, compact: Boolean = false,
+                 portable: Boolean = false): DataFrame = {
+    val (partials, idType) = lshPartials(feat, k, tables, bits, seed,
+      selfRank, window, compact, portable)
+    partials.select(col("src"), posexplode(col("ds")).as(Seq("i", "distance")),
+        col("ids"))
+      .select(col("src").cast(idType).as("src"),
+        col("ids")(col("i")).cast(idType).as("dst"), col("distance"))
+  }
+
+  /** Per-task pre-aggregated top-k partials: one row per (src, task)
+    * with parallel distance/id arrays (≤ k entries). Returns the
+    * partial DataFrame and the caller-facing id type.
+    */
+  private def lshPartials(
+                 feat: DataFrame, k: Int, tables: Int = 4, bits: Int = 8,
+                 seed: Long = 42L, selfRank: Boolean = false,
+                 window: Int = 8, compact: Boolean = false,
+                 portable: Boolean = false): (DataFrame, org.apache.spark.sql.types.DataType) = {
     // compact: carry the vectors through the candidate shuffle as
     // array<float> — half the bytes on the highest-volume stream in the
     // engine (distances still accumulate in double; ranking shifts only
@@ -212,57 +279,238 @@ object KnnJoin {
         struct(lit(t).as("t"), signature(t).as("sig"), orderProj(t).as("p"))): _*)).as("h"))
       .select(col("id"), col("group"), col("vec"),
         col("h.t").as("t"), col("h.sig").as("sig"), col("h.p").as("p"))
-    val posed = tagged
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("group", "t", "sig").orderBy(col("p"), col("id"))))
-      // localCheckpoint, not persist: `posed` is referenced three times
-      // below (two join sides + self candidates), and persist only caches
-      // execution — the ANALYZER still walks the full upstream plan per
-      // reference. With a wide feature lineage (the 25-label frame
-      // extraction) that made Catalyst the bottleneck: one query spent
-      // 150+ s in plan transforms and could stack-overflow. The eager
-      // checkpoint truncates the plan to an RDD leaf.
-      .localCheckpoint(true)
 
-    // block = pos / window as an extra join key: an in-window pair
-    // (Δpos ≤ window) spans at most two adjacent blocks, so the hi side
-    // replicates into (block, block−1) and every equi-key bucket holds
-    // O(window) rows — the join never enumerates a quadratic cross
-    // product, not even transiently inside a sort-merge task
-    val lo = posed.select(col("id").as("src"), col("group"), col("t"),
-      col("sig"), (col("pos") / window).cast("int").as("blk"),
-      col("pos"), col("vec").as("va"))
-    val hi = posed.select(col("id").as("dst"), col("group"), col("t"), col("sig"),
-      explode(array((col("pos") / window).cast("int"),
-        ((col("pos") / window).cast("int") - 1))).as("blk"),
-      col("pos").as("pos_hi"), col("vec").as("vb"))
-    // each unordered in-window pair matches exactly one (blk) key and is
-    // scored once; the explode emits both directions WITHOUT re-executing
-    // the join (a second select over `scored` would replay its lineage).
-    // shuffle_hash hint: stack-sampling the 4-cpu scaling leg showed the
-    // sort comparators of a merge join as the hottest executor frames —
-    // hashing skips sorting BOTH multi-hundred-MB sides. Safe at scale:
-    // the build side is partitioned on (group, t, sig, blk) whose per-key
-    // population is O(window) by construction, so no partition's hash map
-    // outgrows memory. (Broadcast stays out: AQE under-estimates the
-    // checkpointed sides and a million-row vec broadcast OOMed the driver
-    // at 400k rows — hence an explicit hint rather than Catalyst's pick.)
-    val scored = lo.join(hi.hint("shuffle_hash"), Seq("group", "t", "sig", "blk"))
-      .where(col("pos_hi") - col("pos") >= 1 && col("pos_hi") - col("pos") <= window)
-      .select(col("src"), col("dst"), dist(col("va"), col("vb")).as("distance"))
-    val both = scored
-      .select(explode(array(
-        struct(col("src"), col("dst"), col("distance")),
-        struct(col("dst").as("src"), col("src").as("dst"), col("distance")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.distance").as("distance"))
-    // reference KDTree semantics: the query point is in the tree, so the
-    // self-match occupies one of the k result slots before being skipped.
-    // Self pairs come from `posed` (one per hash table — the ranker
-    // dedups by dst), so no extra upstream lineage is referenced.
-    val candidates = if (!selfRank) both else both.unionByName(
-      posed.select(col("id").as("src"), col("id").as("dst"), lit(0.0).as("distance")))
-    // cross-table duplicate pairs are deduped inside the aggregator
-    topKByDistance(candidates, k, dropSelf = true)
+    // the ONE exchange: co-locate each (group, t, sig) bucket, order it
+    // by (p, id) — exactly the row_number order of the previous plan.
+    // `compact` vecs cross this shuffle as float; the cast to double
+    // happens AFTER the exchange and equals the (double)getFloat(i)
+    // widening the float sq_dist path performed, so distances are
+    // bit-identical in both modes.
+    val bucketed = tagged
+      .repartition(col("group"), col("t"), col("sig"))
+      .sortWithinPartitions(col("group"), col("t"), col("sig"), col("p"), col("id"))
+
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val idType = feat.schema("id").dataType
+    val groupType = feat.schema("group").dataType
+    val partials: DataFrame =
+      if (idType == LongType && (groupType == LongType || groupType == IntegerType)) {
+        // hot path (the pipeline's packed-long frame ids): all-primitive
+        // typed rows, no per-row string allocation
+        val ds = bucketed.select(col("id"), col("group").cast("long").as("g"),
+          col("t"), col("sig"), col("vec").cast("array<double>").as("vec"))
+          .as[BRowL](org.apache.spark.sql.Encoders.product[BRowL])
+        ds.mapPartitions(it => slideLong(it, k, window, selfRank))(
+          org.apache.spark.sql.Encoders.product[PartL]).toDF()
+      } else {
+        val ds = bucketed.select(col("id").cast("string").as("id"),
+          col("group").cast("string").as("g"),
+          col("t"), col("sig"), col("vec").cast("array<double>").as("vec"))
+          .as[BRowS](org.apache.spark.sql.Encoders.product[BRowS])
+        ds.mapPartitions(it => slideStr(it, k, window, selfRank))(
+          org.apache.spark.sql.Encoders.product[PartS]).toDF()
+      }
+    (partials, idType)
+  }
+
+  // ---- sliding-window pairing + task-local bounded top-k ------------
+
+  private[canon] final case class BRowL(id: Long, g: Long, t: Int, sig: Long,
+                                        vec: Array[Double])
+  private[canon] final case class CandL(src: Long, dst: Long, distance: Double)
+  private[canon] final case class BRowS(id: String, g: String, t: Int, sig: Long,
+                                        vec: Array[Double])
+  private[canon] final case class CandS(src: String, dst: String, distance: Double)
+  private[canon] final case class PartL(src: Long, ds: Array[Double], ids: Array[Long])
+  private[canon] final case class PartS(src: String, ds: Array[Double], ids: Array[String])
+
+  /** Σ (a_i − b_i)² over min length — same accumulation order as
+    * [[graft.core.VectorExprs.SqDist]] (bit-identical distances).
+    */
+  private def sqd(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Bounded top-k buffer, sorted by (distance, dst): the exact pruning
+    * + per-dst min dedup semantics of [[TopKNeighborsLong]].reduce, in
+    * primitive arrays (no per-candidate allocation).
+    */
+  private final class KBufL(k: Int) {
+    val ds = new Array[Double](k); val ids = new Array[Long](k); var n = 0
+    def insert(d: Double, dst: Long): Unit = {
+      if (n == k) {
+        val wd = ds(n - 1)
+        // full-buffer fast reject: if dst were buffered with a LARGER
+        // distance, that distance would be ≤ worst < d — contradiction,
+        // so rejecting here never discards a min-dedup winner
+        if (d > wd || (d == wd && dst >= ids(n - 1))) return
+      }
+      var di = -1; var i = 0
+      while (i < n && di < 0) { if (ids(i) == dst) di = i; i += 1 }
+      if (di >= 0) {
+        if (ds(di) <= d) return // keep the min for this dst
+        var j = di
+        while (j < n - 1) { ds(j) = ds(j + 1); ids(j) = ids(j + 1); j += 1 }
+        n -= 1
+      }
+      var pos = 0
+      while (pos < n && (ds(pos) < d || (ds(pos) == d && ids(pos) < dst))) pos += 1
+      if (n < k) n += 1
+      var j = n - 1
+      while (j > pos) { ds(j) = ds(j - 1); ids(j) = ids(j - 1); j -= 1 }
+      ds(pos) = d; ids(pos) = dst
+    }
+  }
+
+  private final class KBufS(k: Int) {
+    val ds = new Array[Double](k); val ids = new Array[String](k); var n = 0
+    def insert(d: Double, dst: String): Unit = {
+      if (n == k) {
+        val wd = ds(n - 1)
+        if (d > wd || (d == wd && ids(n - 1).compareTo(dst) <= 0)) return
+      }
+      var di = -1; var i = 0
+      while (i < n && di < 0) { if (ids(i) == dst) di = i; i += 1 }
+      if (di >= 0) {
+        if (ds(di) <= d) return
+        var j = di
+        while (j < n - 1) { ds(j) = ds(j + 1); ids(j) = ids(j + 1); j += 1 }
+        n -= 1
+      }
+      var pos = 0
+      while (pos < n && (ds(pos) < d ||
+        (ds(pos) == d && ids(pos).compareTo(dst) < 0))) pos += 1
+      if (n < k) n += 1
+      var j = n - 1
+      while (j > pos) { ds(j) = ds(j - 1); ids(j) = ids(j - 1); j -= 1 }
+      ds(pos) = d; ids(pos) = dst
+    }
+  }
+
+  /** Walk one task's sorted (group, t, sig, p, id) stream: a ring buffer
+    * of the last `window` rows scores each new row against exactly the
+    * Δpos ∈ [1, window] predecessors in its bucket (both directions),
+    * accumulating per-src bounded top-k — the candidate pairs and tie
+    * rules of the previous positional-block join, minus its shuffles.
+    */
+  private def slideLong(it: Iterator[BRowL], k: Int, window: Int,
+                        selfRank: Boolean): Iterator[PartL] = {
+    val w = math.max(window, 1)
+    val acc = new java.util.HashMap[Long, KBufL]()
+    def buf(src: Long): KBufL = {
+      var b = acc.get(src)
+      if (b == null) { b = new KBufL(k); acc.put(src, b) }
+      b
+    }
+    val ringId = new Array[Long](w)
+    val ringVec = new Array[Array[Double]](w)
+    var started = false; var curG = 0L; var curT = 0; var curSig = 0L
+    var ringN = 0; var ringPos = 0
+    while (it.hasNext) {
+      val r = it.next()
+      if (!started || r.t != curT || r.sig != curSig || r.g != curG) {
+        started = true; curG = r.g; curT = r.t; curSig = r.sig
+        ringN = 0; ringPos = 0
+      }
+      if (selfRank) buf(r.id).insert(0.0, r.id)
+      var i = 0
+      while (i < ringN) {
+        val idx = (ringPos - 1 - i + w + w) % w
+        val d = math.sqrt(sqd(ringVec(idx), r.vec))
+        buf(ringId(idx)).insert(d, r.id)
+        buf(r.id).insert(d, ringId(idx))
+        i += 1
+      }
+      ringId(ringPos) = r.id; ringVec(ringPos) = r.vec
+      ringPos = (ringPos + 1) % w
+      if (ringN < w) ringN += 1
+    }
+    // lazy emission straight off the accumulator (the input iterator is
+    // fully consumed above, so mutation is done before emission starts)
+    import scala.jdk.CollectionConverters._
+    acc.entrySet().iterator().asScala.map { kv =>
+      val b = kv.getValue
+      PartL(kv.getKey, java.util.Arrays.copyOf(b.ds, b.n),
+        java.util.Arrays.copyOf(b.ids, b.n))
+    }
+  }
+
+  /** Cross-task partial merge (all partials of a src land in one task
+    * after the repartition): the same bounded insert as the slide pass,
+    * emitting the final ≤ k neighbors per src.
+    */
+  private def mergeLong(it: Iterator[PartL], k: Int): Iterator[CandL] = {
+    val acc = new java.util.HashMap[Long, KBufL]()
+    while (it.hasNext) {
+      val p = it.next()
+      var b = acc.get(p.src)
+      if (b == null) { b = new KBufL(k); acc.put(p.src, b) }
+      var i = 0
+      while (i < p.ds.length) { b.insert(p.ds(i), p.ids(i)); i += 1 }
+    }
+    import scala.jdk.CollectionConverters._
+    acc.entrySet().iterator().asScala.flatMap { kv =>
+      val b = kv.getValue
+      (0 until b.n).iterator.map(i => CandL(kv.getKey, b.ids(i), b.ds(i)))
+    }
+  }
+
+  private def mergeStr(it: Iterator[PartS], k: Int): Iterator[CandS] = {
+    val acc = new java.util.HashMap[String, KBufS]()
+    while (it.hasNext) {
+      val p = it.next()
+      var b = acc.get(p.src)
+      if (b == null) { b = new KBufS(k); acc.put(p.src, b) }
+      var i = 0
+      while (i < p.ds.length) { b.insert(p.ds(i), p.ids(i)); i += 1 }
+    }
+    import scala.jdk.CollectionConverters._
+    acc.entrySet().iterator().asScala.flatMap { kv =>
+      val b = kv.getValue
+      (0 until b.n).iterator.map(i => CandS(kv.getKey, b.ids(i), b.ds(i)))
+    }
+  }
+
+  private def slideStr(it: Iterator[BRowS], k: Int, window: Int,
+                       selfRank: Boolean): Iterator[PartS] = {
+    val w = math.max(window, 1)
+    val acc = new java.util.HashMap[String, KBufS]()
+    def buf(src: String): KBufS = {
+      var b = acc.get(src)
+      if (b == null) { b = new KBufS(k); acc.put(src, b) }
+      b
+    }
+    val ringId = new Array[String](w)
+    val ringVec = new Array[Array[Double]](w)
+    var started = false; var curG: String = null; var curT = 0; var curSig = 0L
+    var ringN = 0; var ringPos = 0
+    while (it.hasNext) {
+      val r = it.next()
+      if (!started || r.t != curT || r.sig != curSig || r.g != curG) {
+        started = true; curG = r.g; curT = r.t; curSig = r.sig
+        ringN = 0; ringPos = 0
+      }
+      if (selfRank) buf(r.id).insert(0.0, r.id)
+      var i = 0
+      while (i < ringN) {
+        val idx = (ringPos - 1 - i + w + w) % w
+        val d = math.sqrt(sqd(ringVec(idx), r.vec))
+        buf(ringId(idx)).insert(d, r.id)
+        buf(r.id).insert(d, ringId(idx))
+        i += 1
+      }
+      ringId(ringPos) = r.id; ringVec(ringPos) = r.vec
+      ringPos = (ringPos + 1) % w
+      if (ringN < w) ringN += 1
+    }
+    import scala.jdk.CollectionConverters._
+    acc.entrySet().iterator().asScala.map { kv =>
+      val b = kv.getValue
+      PartS(kv.getKey, java.util.Arrays.copyOf(b.ds, b.n),
+        java.util.Arrays.copyOf(b.ids, b.n))
+    }
   }
 }

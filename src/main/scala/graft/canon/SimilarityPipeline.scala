@@ -97,14 +97,29 @@ object SimilarityPipeline {
   }
 
   def similarTriples(frames: DataFrame, labels: Seq[String],
-                     exact: Boolean = true): DataFrame = {
+                     exact: Boolean = true): DataFrame =
+    similarTriplesPre(frames, labels, exact, preStdTele = None)
+
+  /** Same result as [[similarTriples]]; `preStdTele`, when given, must
+    * be `standardize(telemetryFeatures(frames))` — [[run]] passes a
+    * checkpointed copy so the telemetry standardization is computed
+    * once instead of twice (kNN here + DBSCAN in [[clusterTriples]]).
+    */
+  private def similarTriplesPre(frames: DataFrame, labels: Seq[String],
+                                exact: Boolean,
+                                preStdTele: Option[DataFrame]): DataFrame = {
     // selfRank: the reference KDTree contains the query point, so k=5
     // yields at most 4 real neighbors (the self slot is skipped,
     // similarity_pipeline.py:176-192)
     def knn(feat: DataFrame) =
       if (exact) KnnJoin.exactTopK(feat, K, selfRank = true)
       else KnnJoin.approxTopK(standardize(feat), K, selfRank = true)
-    val tele = knn(telemetryFeatures(frames)).select(
+    def knnPre(std: DataFrame) = KnnJoin.approxTopK(std, K, selfRank = true)
+    val teleKnn = preStdTele match {
+      case Some(std) if !exact => knnPre(std)
+      case _ => knn(telemetryFeatures(frames))
+    }
+    val tele = teleKnn.select(
       frameIdOf(col("src")).as("subj"), lit("SIMILAR_TO").as("pred"),
       frameIdOf(col("dst")).as("obj"),
       lit(null).cast("double").as("classification"),
@@ -126,9 +141,9 @@ object SimilarityPipeline {
     * telemetry feature space.
     */
   def clusterTriples(frames: DataFrame, eps: Double = 8.0, minPts: Int = 5,
-                     exact: Boolean = true)(
+                     exact: Boolean = true, preStdTele: Option[DataFrame] = None)(
       implicit spark: SparkSession): (DataFrame, DataFrame) = {
-    val raw = telemetryFeatures(frames)
+    lazy val raw = telemetryFeatures(frames)
     val clusters =
       if (exact)
         // fixture scale: framenumber scaled down so density reflects
@@ -136,8 +151,11 @@ object SimilarityPipeline {
         Dbscan.cluster(raw.withColumn("vec", transform(col("vec"),
           (v, i) => when(i === 4, v / 100.0).otherwise(v))), eps, minPts)
       else
-        // web scale: standardized space, ε in z-score units
-        Dbscan.clusterApprox(standardize(raw), 1.0, minPts, maxDegree = 16)
+        // web scale: standardized space, ε in z-score units —
+        // preStdTele (run()'s checkpointed standardization) avoids
+        // recomputing the identical standardize the kNN leg already ran
+        Dbscan.clusterApprox(preStdTele.getOrElse(standardize(raw)),
+          1.0, minPts, maxDegree = 16)
     val member = clusters.where(col("cluster") >= 0)
       .withColumn("cluster_id",
         concat(lit("c"), col("group"), lit("."), col("cluster")))
@@ -151,8 +169,16 @@ object SimilarityPipeline {
 
   def run(frames: DataFrame, labels: Seq[String] = Ontology.allLabels,
           exact: Boolean = true)(implicit spark: SparkSession): (DataFrame, DataFrame) = {
-    val sims = similarTriples(frames, labels, exact)
-    val (clusterT, clusterN) = clusterTriples(frames, exact = exact)
+    // approx path: the telemetry standardization feeds BOTH the kNN leg
+    // and grid-DBSCAN — compute it once and checkpoint (the eager leaf
+    // also stops the analyzer re-walking the stats-join lineage per
+    // reference; results identical to the previous double computation)
+    val preStd =
+      if (exact) None
+      else Some(standardize(telemetryFeatures(frames)).localCheckpoint(true))
+    val sims = similarTriplesPre(frames, labels, exact, preStd)
+    val (clusterT, clusterN) = clusterTriples(frames, exact = exact,
+      preStdTele = preStd)
     (sims.unionByName(clusterT), clusterN)
   }
 }

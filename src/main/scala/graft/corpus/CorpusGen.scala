@@ -39,10 +39,25 @@ object CorpusGen {
   private val fillerVocab: Array[String] =
     Array.tabulate(1000)(i => "w" + (if (i < 10) "00" else if (i < 100) "0" else "") + i)
 
+  /** Datasets produced by [[corpus]], keyed by logical plan (weakly, so
+    * plans die with their Datasets): lets consumers that only need the
+    * corpus SPEC — e.g. the distinct-repo dimension, a pure function of
+    * `nRepos` — skip a full content-generation scan. Only the exact
+    * Dataset instance returned by [[corpus]] matches; any transformation
+    * produces a different plan and falls back to the generic scan.
+    */
+  private val cfgRegistry = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Any, Config]())
+
+  def configOf(ds: Dataset[_]): Option[Config] =
+    Option(cfgRegistry.get(ds.queryExecution.logical))
+
   def corpus(spark: SparkSession, cfg: Config): Dataset[CorpusRow] = {
     import spark.implicits._
     val parts = cfg.partitions
-    spark.range(0L, cfg.rows, 1L, parts).map(id => genRow(id, cfg))
+    val ds = spark.range(0L, cfg.rows, 1L, parts).map(id => genRow(id, cfg))
+    cfgRegistry.put(ds.queryExecution.logical, cfg)
+    ds
   }
 
   /** repo index for a row: uniform round-robin; frame ordinal within repo. */

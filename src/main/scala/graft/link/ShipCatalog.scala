@@ -57,6 +57,21 @@ object ShipCatalog {
     */
   def dim(corpus: Dataset[CorpusRow])(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    corpus.select("repo").as[String].distinct().map(shipFor).toDF()
+    graft.corpus.CorpusGen.configOf(corpus) match {
+      case Some(cfg) =>
+        // the generator assigns repo = repoName(id % nRepos) round-robin,
+        // so the distinct-repo set is exactly repoName(0 until
+        // min(nRepos, rows)) — derive the dimension from the corpus SPEC
+        // instead of re-generating every row's content just to distinct
+        // one column (the dim scan was a full second corpus generation
+        // per pipeline run; guide §1.2 "don't compute things you throw
+        // away"). Identical output set; only applies to the untransformed
+        // Dataset [[graft.corpus.CorpusGen.corpus]] returned.
+        val n = math.min(cfg.nRepos.toLong, cfg.rows)
+        spark.range(0L, n).map(i =>
+          shipFor(graft.corpus.CorpusGen.repoName(i.toInt))).toDF()
+      case None =>
+        corpus.select("repo").as[String].distinct().map(shipFor).toDF()
+    }
   }
 }

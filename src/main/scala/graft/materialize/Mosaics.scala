@@ -46,6 +46,17 @@ object Mosaics {
 
   /** Union-coverage UDAF: 1 − Π(1 − cov). Commutative+associative via
     * the product of complements — safe for partial aggregation.
+    * Kept as the semantic reference; [[unionCoverage]] below evaluates
+    * the same arithmetic through Catalyst's declarative Product
+    * aggregate instead (optimization round 6): 25 typed-Aggregator
+    * columns forced the whole mosaic rollup into ObjectHashAggregate
+    * with a boxed encoder round-trip per label per row, where the
+    * declarative form stays in codegen'd HashAggregate with primitive
+    * doubles. Bit-identical: Product's update chain is
+    * ((1·v₁)·v₂)·… and its merge is pairwise partial multiplication —
+    * exactly [[UnionCoverage]].reduce/merge — and the clamp CASE below
+    * reproduces max(0, min(1, c)) including NaN propagation (a −0.0 vs
+    * +0.0 clamp difference is erased by the 1−x complement).
     */
   class UnionCoverage extends Aggregator[Double, Double, Double] {
     def zero: Double = 1.0
@@ -56,7 +67,14 @@ object Mosaics {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  val unionCoverage = udaf(new UnionCoverage)
+  def unionCoverage(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val clamped = when(c < 0.0, 0.0).when(c > 1.0, 1.0).otherwise(c)
+    val prod = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.Product(
+        Bridge.expression(lit(1.0) - clamped)).toAggregateExpression())
+    lit(1.0) - prod
+  }
 
   /** A11 (LIACi_segmenter.getPercentage, segmenter.py:152-172):
     * |A∩B| / |A| as a ratio of conditional aggregates over boolean
@@ -98,7 +116,16 @@ object Mosaics {
             minFrames: Int = Mosaics.minFrames,
             sizeIncreaseKeep: Double = Mosaics.sizeIncreaseKeep)(
       implicit spark: SparkSession): (DataFrame, DataFrame) = {
-    val sessioned = withSessions(frames)
+    // project early (guide §2.3): the mosaic aggregates and IN_MOSAIC
+    // emit touch only these columns — the session window was shuffling
+    // and sorting the full ~90-column frame row. Materialize the
+    // sessioned slim table once: it feeds BOTH the per-session agg and
+    // the IN_MOSAIC join, which previously re-ran the window shuffle.
+    val needed = Seq("inspection_id", "framenumber", "frame_id",
+      "Heading", "Depth") ++ labels.map(l => s"${l}_segmentation")
+    val sessioned = withSessions(
+        frames.select(needed.map(col): _*))
+      .localCheckpoint(true)
 
     val covAggs = labels.map(l =>
       unionCoverage(col(s"${l}_segmentation")).as(s"${l}_percentage"))
