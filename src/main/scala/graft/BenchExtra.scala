@@ -77,26 +77,26 @@ object BenchExtra {
     val cont = SP.contentFeatures(frames, labels)
 
     if (want("std")) {
-      timed("standardize_tele")(noop(SP.standardize(tele)))
-      timed("standardize_content")(noop(SP.standardize(cont)))
+      timed("standardize_tele")(noop(SP.standardize(tele, SP.TeleDims)))
+      timed("standardize_content")(noop(SP.standardize(cont, SP.contentDims(labels))))
     }
 
     if (want("knn")) {
-      val stdTele = SP.standardize(tele)
-      val stdCont = SP.standardize(cont)
+      val stdTele = SP.standardize(tele, SP.TeleDims)
+      val stdCont = SP.standardize(cont, SP.contentDims(labels))
       timed("knn_tele_total")(noop(KnnJoin.approxTopK(stdTele, SP.K, selfRank = true)))
       timed("knn_content_total")(noop(KnnJoin.approxTopK(stdCont, SP.K, selfRank = true)))
     }
 
     if (want("knncand")) {
-      val stdTele = SP.standardize(tele)
-      val stdCont = SP.standardize(cont)
+      val stdTele = SP.standardize(tele, SP.TeleDims)
+      val stdCont = SP.standardize(cont, SP.contentDims(labels))
       timed("knn_tele_cands")(noop(KnnJoin.lshCandidates(stdTele, SP.K, selfRank = true)))
       timed("knn_content_cands")(noop(KnnJoin.lshCandidates(stdCont, SP.K, selfRank = true)))
     }
 
     if (want("dbscan")) timed("dbscan_approx") {
-      val stdTele = SP.standardize(tele)
+      val stdTele = SP.standardize(tele, SP.TeleDims)
       noop(Dbscan.clusterApprox(stdTele, 1.0, 5, maxDegree = 16))
     }
 

@@ -1138,7 +1138,8 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.canon.Dbscan.clusterApprox(
         graft.canon.SimilarityPipeline.standardize(
-          graft.canon.SimilarityPipeline.telemetryFeatures(docFrames(s, dir))),
+          graft.canon.SimilarityPipeline.telemetryFeatures(docFrames(s, dir)),
+          graft.canon.SimilarityPipeline.TeleDims),
         eps = 2.0, minPts = 5, maxDegree = 16)
         .orderBy("id")
     }),

@@ -23,6 +23,12 @@ object SimilarityPipeline {
 
   val K = 5
 
+  /** Widths of the two fixed feature spaces (see [[telemetryFeatures]]
+    * / [[contentFeatures]]) — the known-dims standardize fast path.
+    */
+  val TeleDims = 5
+  def contentDims(labels: Seq[String]): Int = 2 * labels.size + 1
+
   private def sanitize(c: org.apache.spark.sql.Column) =
     when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity, 0.0)
       .otherwise(c)
@@ -47,6 +53,35 @@ object SimilarityPipeline {
     // native codegen'd z-score (bit-identical to the transform() HOF it
     // replaced, which evaluated an interpreted lambda per element —
     // graft.core.VectorExprs.ZScore scaladoc)
+    feat.join(stats, Seq("group"))
+      .withColumn("vec",
+        graft.core.VectorExprs.vec_zscore(col("vec"), col("mu"), col("sigma")))
+      .select("id", "group", "vec")
+  }
+
+  /** [[standardize]] for a KNOWN uniform vector width (every internal
+    * caller constructs fixed-width vecs): per-dimension column
+    * aggregates replace the posexplode — the generic path generated
+    * |vec| rows per input row (41M at the content space's 51 dims ×
+    * 800k rows) just to feed a (group, dim) hash aggregate, plus a
+    * second collect_list shuffle to reassemble arrays. Here each
+    * partition applies avg/stddev_pop per dimension directly (same
+    * aggregate functions over the same per-partition value sequence →
+    * identical partials, merged in the same deterministic map-order →
+    * bit-identical mu/sigma; `get` returns null past a short vec
+    * exactly where posexplode emitted nothing), and the arrays are
+    * assembled with a plain `array()` in dim order — no second shuffle.
+    * `dims` MUST equal the uniform vec length; a wider/narrower value
+    * changes which dimensions are standardized.
+    */
+  def standardize(feat: DataFrame, dims: Int): DataFrame = {
+    val aggs = (0 until dims).flatMap(d => Seq(
+      avg(get(col("vec"), lit(d))).as(s"mu_$d"),
+      stddev_pop(get(col("vec"), lit(d))).as(s"sd_$d")))
+    val stats = feat.groupBy("group").agg(aggs.head, aggs.tail: _*)
+      .select(col("group"),
+        array((0 until dims).map(d => col(s"mu_$d")): _*).as("mu"),
+        array((0 until dims).map(d => col(s"sd_$d")): _*).as("sigma"))
     feat.join(stats, Seq("group"))
       .withColumn("vec",
         graft.core.VectorExprs.vec_zscore(col("vec"), col("mu"), col("sigma")))
@@ -111,13 +146,13 @@ object SimilarityPipeline {
     // selfRank: the reference KDTree contains the query point, so k=5
     // yields at most 4 real neighbors (the self slot is skipped,
     // similarity_pipeline.py:176-192)
-    def knn(feat: DataFrame) =
+    def knn(feat: DataFrame, dims: Int) =
       if (exact) KnnJoin.exactTopK(feat, K, selfRank = true)
-      else KnnJoin.approxTopK(standardize(feat), K, selfRank = true)
+      else KnnJoin.approxTopK(standardize(feat, dims), K, selfRank = true)
     def knnPre(std: DataFrame) = KnnJoin.approxTopK(std, K, selfRank = true)
     val teleKnn = preStdTele match {
       case Some(std) if !exact => knnPre(std)
-      case _ => knn(telemetryFeatures(frames))
+      case _ => knn(telemetryFeatures(frames), TeleDims)
     }
     val tele = teleKnn.select(
       frameIdOf(col("src")).as("subj"), lit("SIMILAR_TO").as("pred"),
@@ -126,7 +161,7 @@ object SimilarityPipeline {
       lit(null).cast("double").as("segmentation"),
       col("distance"),
       lit(null).cast("array<double>").as("homography"))
-    val vis = knn(contentFeatures(frames, labels)).select(
+    val vis = knn(contentFeatures(frames, labels), contentDims(labels)).select(
       frameIdOf(col("src")).as("subj"), lit("VISUALLY_SIMILAR_TO").as("pred"),
       frameIdOf(col("dst")).as("obj"),
       lit(null).cast("double").as("classification"),
@@ -154,7 +189,7 @@ object SimilarityPipeline {
         // web scale: standardized space, ε in z-score units —
         // preStdTele (run()'s checkpointed standardization) avoids
         // recomputing the identical standardize the kNN leg already ran
-        Dbscan.clusterApprox(preStdTele.getOrElse(standardize(raw)),
+        Dbscan.clusterApprox(preStdTele.getOrElse(standardize(raw, TeleDims)),
           1.0, minPts, maxDegree = 16)
     val member = clusters.where(col("cluster") >= 0)
       .withColumn("cluster_id",
@@ -175,7 +210,8 @@ object SimilarityPipeline {
     // reference; results identical to the previous double computation)
     val preStd =
       if (exact) None
-      else Some(standardize(telemetryFeatures(frames)).localCheckpoint(true))
+      else Some(standardize(telemetryFeatures(frames), TeleDims)
+        .localCheckpoint(true))
     val sims = similarTriplesPre(frames, labels, exact, preStd)
     val (clusterT, clusterN) = clusterTriples(frames, exact = exact,
       preStdTele = preStd)
