@@ -105,6 +105,14 @@ object BenchExtra {
       noop(t); noop(n)
     }
 
+    // runFull with a noop sink — pipe minus this ≈ the write cost
+    if (want("pipenoop")) timed("pipeline_run_noop") {
+      val r = graft.pipeline.KgPipeline.runFull(
+        CorpusGen.corpus(spark, CorpusGen.Config(rows, nRepos,
+          partitions = cores * 2)), exactKnn = false)
+      noop(r.triples); noop(r.frames); noop(r.nodes)
+    }
+
     // full pipelineRun (corpus → runFull → partitioned write), the exact
     // timed region of a scaling leg, as one attributable block
     if (want("pipe")) timed("pipeline_run_write") {

@@ -78,7 +78,17 @@ object Dbscan {
       .select(col("group"), col("cell"), col("component")).distinct()
       .withColumn("cluster", (dense_rank().over(w) - 1).cast("long"))
 
-    val assigned = pts.join(numbered.select("cell", "cluster"), Seq("cell"), "left")
+    // cell→cluster attach: with AQE off (scaling legs) the static
+    // planner has no size estimate for `numbered` and picks a
+    // sort-merge join — a full sort+shuffle of the point table to
+    // attach a small cell map. Decide from the measured core-cell
+    // count (coreCells is persisted; the count is an O(cells) agg):
+    // broadcast when the cell map is provably small, keep the shuffle
+    // join above the cap so a billion-cell corpus can't OOM the driver.
+    val cellMap = numbered.select("cell", "cluster")
+    val smallCellMap = coreCells.count() <= 2000000L
+    val assigned = pts.join(
+      if (smallCellMap) broadcast(cellMap) else cellMap, Seq("cell"), "left")
     assigned.select(col("id"), col("group"),
       coalesce(col("cluster"), lit(-1L)).as("cluster"))
   }

@@ -1,8 +1,6 @@
 package graft.canon
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** k-NN similarity edges per group (reference A26: per-inspection
@@ -26,98 +24,90 @@ object KnnJoin {
 
   def dist(a: Column, b: Column): Column = sqrt(sqDist(a, b))
 
-  /** Bounded top-k accumulator over (distance, dst) candidates.
+  /** (src, dst, distance) candidates → k nearest per src: bounded
+    * top-k with per-dst min dedup and deterministic (distance, dst)
+    * ties, as a typed two-phase reduction. Phase 1 prunes each task's
+    * candidates to ≤ k survivors per src BEFORE the exchange (safe
+    * because membership in the global top-k implies membership in the
+    * top-k of every subset — the property that matters when hot LSH
+    * buckets fan out at 100 TB); phase 2 repartitions the per-task
+    * partial arrays by src and re-runs the same bounded insert.
     *
-    * Replaces the dropDuplicates + row_number() two-shuffle rank with a
-    * single groupBy(src) whose partial aggregation runs map-side: each
-    * task reduces its candidates to ≤ k survivors before the exchange,
-    * so the shuffle carries k rows per src instead of the whole
-    * candidate stream — the property that matters when hot LSH buckets
-    * fan out at 100 TB. Safe to prune partially because membership in
-    * the global top-k implies membership in the top-k of every subset;
-    * per-dst dedup is free since a pair's distance is identical in
-    * every hash table it collides in. Deterministic ties by (d, dst).
-    */
-  class TopKNeighbors(k: Int)
-      extends Aggregator[(Double, String), Seq[(Double, String)], Seq[(Double, String)]] {
-    private def prune(s: Seq[(Double, String)]): Seq[(Double, String)] =
-      if (s.lengthCompare(k) <= 0) s else s.sorted.take(k)
-    def zero: Seq[(Double, String)] = Nil
-    // dst collision keeps the MIN distance: current callers provably feed
-    // identical distances per (src, dst) (same pair from different hash
-    // tables), but a future caller with differing per-pair scores must
-    // not get silently wrong rankings
-    def reduce(b: Seq[(Double, String)], a: (Double, String)): Seq[(Double, String)] = {
-      val i = b.indexWhere(_._2 == a._2)
-      if (i < 0) prune(b :+ a)
-      else if (a._1 < b(i)._1) b.updated(i, a)
-      else b
-    }
-    def merge(b1: Seq[(Double, String)], b2: Seq[(Double, String)]): Seq[(Double, String)] =
-      prune((b1 ++ b2).groupBy(_._2).valuesIterator.map(_.min).toSeq)
-    def finish(r: Seq[(Double, String)]): Seq[(Double, String)] = r.sorted
-    def bufferEncoder: Encoder[Seq[(Double, String)]] = ExpressionEncoder()
-    def outputEncoder: Encoder[Seq[(Double, String)]] = ExpressionEncoder()
-  }
-
-  /** Long-id twin of [[TopKNeighbors]] for the high-volume path (the
-    * pipeline's packed-long frame ids): no per-candidate string
-    * allocation, buffer kept sorted so a candidate worse than the
-    * current k-th is rejected with one compare and ZERO allocation —
-    * the common case once the buffer warms up, which is what keeps the
-    * per-candidate cost flat when LSH buckets fan out.
-    */
-  class TopKNeighborsLong(k: Int)
-      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
-    def zero: Seq[(Double, Long)] = Nil
-    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
-      if (b.lengthCompare(k) >= 0) {
-        val w = b.last
-        // safe even if a's dst is already in the buffer: the buffered
-        // entry is ≤ worst, so rejecting the worse duplicate keeps the min
-        if (a._1 > w._1 || (a._1 == w._1 && a._2 >= w._2)) return b
-      }
-      val di = b.indexWhere(_._2 == a._2)
-      if (di >= 0 && b(di)._1 <= a._1) b
-      else {
-        // dst collision keeps the min distance (identical-distance in
-        // current callers; see TopKNeighbors note); sorted insert by (d, dst)
-        val base = if (di >= 0) b.patch(di, Nil, 1) else b
-        val (lo, hi) = base.span(x => x._1 < a._1 || (x._1 == a._1 && x._2 < a._2))
-        val ins = (lo :+ a) ++ hi
-        if (ins.lengthCompare(k) > 0) ins.take(k) else ins
-      }
-    }
-    def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      (b1 ++ b2).groupBy(_._2).valuesIterator.map(_.min).toSeq.sorted.take(k)
-    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
-    def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
-    def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
-  }
-
-  /** (src, dst, distance) candidates → k nearest per src, one shuffle.
-    * Long dst ids rank through the allocation-lean [[TopKNeighborsLong]];
-    * other id types round-trip through the aggregator as strings
-    * (lossless for the ids used here) and are cast back on the way out.
+    * Optimization round 6: this replaces the typed-Aggregator
+    * (ScalaAggregator) groupBy, whose per-candidate encoder round-trip
+    * and Seq-buffer serialize/merge were 70 of ~87 task-s on the
+    * pipeline's kNN probe. Same pruning/tie/dedup semantics, primitive
+    * arrays end to end. Long ids rank on primitives; other id types
+    * round-trip as strings (lossless for the ids used here, and the
+    * (distance, dst-string) tie rule matches the previous aggregator).
     */
   private def topKByDistance(candidates: DataFrame, k: Int,
                              dropSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val srcType = candidates.schema("src").dataType
     val dstType = candidates.schema("dst").dataType
     val ranked =
-      if (dstType == org.apache.spark.sql.types.LongType) {
-        val topk = udaf(new TopKNeighborsLong(k))
-        candidates.groupBy("src")
-          .agg(topk(col("distance"), col("dst")).as("nn"))
-          .select(col("src"), explode(col("nn")).as("p"))
-          .select(col("src"), col("p._2").as("dst"), col("p._1").as("distance"))
+      if (srcType == LongType && dstType == LongType) {
+        val cands = candidates
+          .select(col("src"), col("dst"), col("distance").cast("double").as("distance"))
+          .as[CandL](org.apache.spark.sql.Encoders.product[CandL])
+        cands.mapPartitions(it => partialTopKLong(it, k))(
+            org.apache.spark.sql.Encoders.product[PartL]).toDF()
+          .repartition(col("src"))
+          .as[PartL](org.apache.spark.sql.Encoders.product[PartL])
+          .mapPartitions(it => mergeLong(it, k))(
+            org.apache.spark.sql.Encoders.product[CandL]).toDF()
       } else {
-        val topk = udaf(new TopKNeighbors(k))
-        candidates.groupBy("src")
-          .agg(topk(col("distance"), col("dst").cast("string")).as("nn"))
-          .select(col("src"), explode(col("nn")).as("p"))
-          .select(col("src"), col("p._2").cast(dstType).as("dst"), col("p._1").as("distance"))
+        val cands = candidates
+          .select(col("src").cast("string").as("src"),
+            col("dst").cast("string").as("dst"),
+            col("distance").cast("double").as("distance"))
+          .as[CandS](org.apache.spark.sql.Encoders.product[CandS])
+        cands.mapPartitions(it => partialTopKStr(it, k))(
+            org.apache.spark.sql.Encoders.product[PartS]).toDF()
+          .repartition(col("src"))
+          .as[PartS](org.apache.spark.sql.Encoders.product[PartS])
+          .mapPartitions(it => mergeStr(it, k))(
+            org.apache.spark.sql.Encoders.product[CandS]).toDF()
+          .select(col("src").cast(srcType).as("src"),
+            col("dst").cast(dstType).as("dst"), col("distance"))
       }
     if (dropSelf) ranked.where(col("src") =!= col("dst")) else ranked
+  }
+
+  /** Phase-1 reduction for [[topKByDistance]]: per-task bounded top-k
+    * over raw candidate rows, one partial array row per src.
+    */
+  private def partialTopKLong(it: Iterator[CandL], k: Int): Iterator[PartL] = {
+    val acc = new java.util.HashMap[Long, KBufL]()
+    while (it.hasNext) {
+      val c = it.next()
+      var b = acc.get(c.src)
+      if (b == null) { b = new KBufL(k); acc.put(c.src, b) }
+      b.insert(c.distance, c.dst)
+    }
+    import scala.jdk.CollectionConverters._
+    acc.entrySet().iterator().asScala.map { kv =>
+      val b = kv.getValue
+      PartL(kv.getKey, java.util.Arrays.copyOf(b.ds, b.n),
+        java.util.Arrays.copyOf(b.ids, b.n))
+    }
+  }
+
+  private def partialTopKStr(it: Iterator[CandS], k: Int): Iterator[PartS] = {
+    val acc = new java.util.HashMap[String, KBufS]()
+    while (it.hasNext) {
+      val c = it.next()
+      var b = acc.get(c.src)
+      if (b == null) { b = new KBufS(k); acc.put(c.src, b) }
+      b.insert(c.distance, c.dst)
+    }
+    import scala.jdk.CollectionConverters._
+    acc.entrySet().iterator().asScala.map { kv =>
+      val b = kv.getValue
+      PartS(kv.getKey, java.util.Arrays.copyOf(b.ds, b.n),
+        java.util.Arrays.copyOf(b.ids, b.n))
+    }
   }
 
   /** feat: (id string, group long/string, vec array<double>).

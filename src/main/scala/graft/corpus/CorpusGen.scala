@@ -114,7 +114,18 @@ object CorpusGen {
     val content = sb.toString
 
     val h1 = rng.nextLong(); val h2 = rng.nextLong()
-    val commit = (java.lang.String.format("%016x%016x", h1, h2) * 2).substring(0, 40)
+    // manual zero-padded hex == format("%016x%016x", h1, h2) duplicated
+    // and cut to 40 — java.util.Formatter was ~10% of row generation
+    val hx = new java.lang.StringBuilder(32)
+    var hi = 0
+    while (hi < 2) {
+      val s = java.lang.Long.toHexString(if (hi == 0) h1 else h2)
+      var p = s.length
+      while (p < 16) { hx.append('0'); p += 1 }
+      hx.append(s); hi += 1
+    }
+    val s32 = hx.toString
+    val commit = s32 + s32.substring(0, 8)
     CorpusRow(repoName(rIdx), pathFor(frameNo, lang), commit, lang, content)
   }
 

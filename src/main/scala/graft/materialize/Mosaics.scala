@@ -136,6 +136,10 @@ object Mosaics {
       min("framenumber").as("start_no"),
       (lit(1.0) + max("Depth") - min("Depth")).as("size_increase")
     ) ++ covAggs
+    // materialized once: the per-session aggregate feeds BOTH the
+    // IN_MOSAIC key join and the Mosaic nodes, which are separate
+    // outputs — without the checkpoint the 25-label aggregation ran
+    // twice. Small (one row per kept session).
     val mosaics = sessioned.groupBy("inspection_id", "session")
       .agg(aggs.head, aggs.tail: _*)
       // A13 gate, both arms (pipeline.py:153-156): discard only sessions
@@ -143,6 +147,7 @@ object Mosaics {
       .where(col("n_frames") >= minFrames ||
         col("size_increase") >= sizeIncreaseKeep)
       .withColumn("mosaic_id", concat(lit("m"), col("start_frame")))
+      .localCheckpoint(true)
 
     val mosaicKeys = mosaics.select("inspection_id", "session", "mosaic_id")
     // IN_MOSAIC with homography: deterministic per-frame 3x3 (translation
