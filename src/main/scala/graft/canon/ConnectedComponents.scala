@@ -20,8 +20,53 @@ object ConnectedComponents {
 
   /** edges: (src: long, dst: long). Returns (id: long, component: long)
     * where component = min vertex id of the component.
+    *
+    * Below `collectThreshold` edges the computation collapses to one
+    * collect + driver union-find (the [[runString]] fast path, added
+    * for long ids in optimization round 6): min-root union produces
+    * exactly the min-vertex-id representative the hash-min fixpoint
+    * converges to, and it removes the ~4 barrier stages + checkpoint
+    * per distributed iteration. Above the threshold the distributed
+    * loop runs as before, so a billion-edge graph never lands on the
+    * driver (≤ threshold longs ≈ 8 MB).
     */
-  def run(edges: DataFrame, maxIter: Int = 25)(implicit spark: SparkSession): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 25,
+          collectThreshold: Long = 500000L)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val e0 = edges.select(col("src"), col("dst"))
+    // the typed probe only applies to long vertex ids — runString's
+    // distributed fallback re-enters here with string columns
+    if (e0.schema("src").dataType != org.apache.spark.sql.types.LongType)
+      return runDistributed(e0, maxIter)
+    val probe = e0.limit((collectThreshold + 1).toInt).as[(Long, Long)].collect()
+    if (probe.length <= collectThreshold) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      probe.foreach { case (a, b) =>
+        if (a != b) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+      }
+      // same vertex set as the distributed path: every endpoint of a
+      // non-self edge (self-loop-only vertices are their own component
+      // there too, via the symmetrized-distinct edge set — but those
+      // rows are filtered before label init, so a vertex appearing
+      // ONLY in self-loops is absent in both paths)
+      val verts = probe.iterator.filter { case (a, b) => a != b }
+        .flatMap { case (a, b) => Iterator(a, b) }.toSet
+      verts.iterator.map(v => (v, find(v))).toSeq.toDF("id", "component")
+    } else runDistributed(e0, maxIter)
+  }
+
+  private def runDistributed(edges: DataFrame, maxIter: Int)(
+      implicit spark: SparkSession): DataFrame = {
     // undirected: symmetrize once
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))

@@ -86,13 +86,24 @@ object Upsert {
     */
   def snapshotDiff(ledger: DataFrame, t1Us: Long, t2Us: Long): DataFrame = {
     require(t1Us <= t2Us, s"snapshotDiff: t1 $t1Us > t2 $t2Us")
-    val a = asOfSnapshot(ledger, t1Us).select("subj", "pred", "obj")
-    val b = asOfSnapshot(ledger, t2Us).select("subj", "pred", "obj")
-    b.join(a, Seq("subj", "pred", "obj"), "left_anti")
-      .withColumn("change", lit("added"))
-      .unionAll(
-        a.join(b, Seq("subj", "pred", "obj"), "left_anti")
-          .withColumn("change", lit("removed")))
+    // one scan, one triple-keyed aggregation (optimization round 6):
+    // the previous shape ran asOfSnapshot twice (two scans + two
+    // windows) and diffed with two anti-joins. The latest operation
+    // at-or-before each boundary is a conditional max over
+    // (ts_us, event_id, op) structs — lexicographic max = the window's
+    // rank-1 row — and liveness-changed is a plain predicate on the
+    // two argmax results. Row set identical to the anti-join diff.
+    val l1 = max(when(col("ts_us") <= t1Us,
+      struct(col("ts_us"), col("event_id"), col("op")))).as("l1")
+    val l2 = max(when(col("ts_us") <= t2Us,
+      struct(col("ts_us"), col("event_id"), col("op")))).as("l2")
+    ledger.where(col("ts_us") <= t2Us)
+      .groupBy("subj", "pred", "obj").agg(l1, l2)
+      .withColumn("live1", coalesce(col("l1.op") === "add", lit(false)))
+      .withColumn("live2", coalesce(col("l2.op") === "add", lit(false)))
+      .where(col("live1") =!= col("live2"))
+      .select(col("subj"), col("pred"), col("obj"),
+        when(col("live2"), lit("added")).otherwise(lit("removed")).as("change"))
   }
 
   /** Similarity-only retract (similarity_pipeline.py:32-40): drop
