@@ -82,7 +82,17 @@ object SimilarityPipeline {
       .select(col("group"),
         array((0 until dims).map(d => col(s"mu_$d")): _*).as("mu"),
         array((0 until dims).map(d => col(s"sd_$d")): _*).as("sigma"))
-    feat.join(stats, Seq("group"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stats⋈feat strategy, decided like Dbscan.clusterApprox's cell map:
+    // stats is one row per group, but the static planner has no estimate
+    // for an aggregate, so with AQE off (the scaling legs' protocol) it
+    // picks a sort-merge join — a full-width exchange + sort of the
+    // VECTOR stream just to attach mu/sigma. The count is O(groups) over
+    // the persisted aggregate (feat is still scanned exactly twice in
+    // total, same as the sort-merge plan); broadcast only below a cap so
+    // a 100M-group corpus can't OOM driver or executors.
+    val smallStats = stats.count() * (2L * dims + 1) <= 8000000L
+    feat.join(if (smallStats) broadcast(stats) else stats, Seq("group"))
       .withColumn("vec",
         graft.core.VectorExprs.vec_zscore(col("vec"), col("mu"), col("sigma")))
       .select("id", "group", "vec")
