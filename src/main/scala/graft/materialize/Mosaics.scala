@@ -150,10 +150,19 @@ object Mosaics {
       .localCheckpoint(true)
 
     val mosaicKeys = mosaics.select("inspection_id", "session", "mosaic_id")
+    // key-attach strategy, decided like the grid-DBSCAN cell map: the
+    // checkpointed mosaics table has no stats, so with AQE off (the
+    // scaling legs) the static planner sort-merge-joined the sessioned
+    // table against a 3-column key map — an extra exchange + two sorts.
+    // The count is O(sessions) over the already-materialized checkpoint;
+    // keep the shuffle join above the cap so a billion-session corpus
+    // can't OOM.
+    val keysSide = if (mosaics.count() <= 2000000L) broadcast(mosaicKeys)
+                   else mosaicKeys
     // IN_MOSAIC with homography: deterministic per-frame 3x3 (translation
     // by in-session offset — the stitcher's accumulated-H analog)
     val inMosaic = sessioned
-      .join(mosaicKeys, Seq("inspection_id", "session"))
+      .join(keysSide, Seq("inspection_id", "session"))
       .select(
         col("frame_id").as("subj"), lit("IN_MOSAIC").as("pred"),
         col("mosaic_id").as("obj"),
